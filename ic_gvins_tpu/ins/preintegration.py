@@ -1,0 +1,258 @@
+"""IMU preintegration as fused lax.scan kernels (NORMAL and EARTH variants).
+
+Behavioral parity with the reference preintegration classes
+(/root/reference/ic_gvins/ic_gvins/preintegration/preintegration_base.cc:39-102,
+preintegration_normal.cc:183-254, preintegration_earth.cc:205-334):
+
+  - 15-dim error state (dp, dv, dq, dbg, dba), 12-dim noise
+    (gyro white, accel white, gyro GM, accel GM)
+  - dual-sample coning/sculling increments, trapezoidal noise propagation,
+    first-order Gauss-Markov bias model in the transition matrix
+  - the EARTH variant compensates earth rotation in the delta integrals via
+    the interval-start attitude q0 and rate iewn, and accumulates a
+    position-history correction sum(dt_k * p_k)
+
+TPU-native design: one interval = one ``lax.scan`` over a zero-padded IMU
+batch (padded samples are exact no-ops); many intervals preintegrate
+concurrently under ``vmap`` — the reference re-integrates interval-by-interval
+on one CPU core ("reintegration storms", ic_gvins.cc:1680-1695); here a
+whole window reintegrates in a single batched device call.
+
+The scan produces a compact :class:`PreintSummary` that the factor layer
+(factors/preint_factor.py) consumes to evaluate residuals and analytic
+jacobians without touching raw IMU again.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import quaternion as quat
+from ..core.types import ImuBatch, IntegrationParams, NavState
+
+NUM_STATE = 15
+NUM_NOISE = 12
+
+# error-state slot offsets
+_P, _V, _Q, _BG, _BA = 0, 3, 6, 9, 12
+
+
+class PreintSummary(NamedTuple):
+    """Everything the preintegration factor needs about one interval."""
+
+    dt: jnp.ndarray            # () total integration time
+    dp: jnp.ndarray            # (3,) delta position (body frame of start)
+    dv: jnp.ndarray            # (3,) delta velocity
+    dq: jnp.ndarray            # (4,) delta attitude quaternion (xyzw)
+    bg0: jnp.ndarray           # (3,) linearization gyro bias
+    ba0: jnp.ndarray           # (3,) linearization accel bias
+    dp_dbg: jnp.ndarray        # (3,3)
+    dp_dba: jnp.ndarray        # (3,3)
+    dv_dbg: jnp.ndarray        # (3,3)
+    dv_dba: jnp.ndarray        # (3,3)
+    dq_dbg: jnp.ndarray        # (3,3)
+    sqrt_info: jnp.ndarray     # (15,15) upper-tri whitener U with U^T U = cov^-1
+    cov: jnp.ndarray           # (15,15)
+    gravity: jnp.ndarray       # (3,) n-frame gravity vector
+    iewn: jnp.ndarray          # (3,) earth rate (zeros for NORMAL)
+    sum_dtpn: jnp.ndarray      # (3,) sum(dt_k * p_abs_k) (zeros for NORMAL)
+    end_p: jnp.ndarray         # (3,) absolute end position
+    end_q: jnp.ndarray         # (4,) absolute end attitude
+    end_v: jnp.ndarray         # (3,) absolute end velocity
+    end_time: jnp.ndarray      # () absolute end time
+
+
+def _noise_diag(params: IntegrationParams):
+    """Diagonal of the 12x12 continuous noise matrix
+    (preintegration_normal.cc:246-254)."""
+    nw = params.gyr_arw**2
+    na = params.acc_vrw**2
+    nbg = 2.0 * params.gyr_bias_std**2 / params.corr_time
+    nba = 2.0 * params.acc_bias_std**2 / params.corr_time
+    return jnp.concatenate(
+        [jnp.full(3, nw), jnp.full(3, na), jnp.full(3, nbg), jnp.full(3, nba)]
+    )
+
+
+def _phi_and_g(dt, dtheta_c, dvel_c, cbb, corr_time):
+    """State transition phi = I + F dt and noise-input G for one sample.
+
+    cbb: the 3x3 mapping from body increments into the delta-velocity error;
+    R(dq) for NORMAL (preintegration_normal.cc:198-232), the (negated)
+    earth-corrected rotation for EARTH (preintegration_earth.cc:266-303).
+    The sign convention of the reference is preserved by passing the signed
+    cbb in (NORMAL: -R(dq) appears as phi[3,6] = -R dtheta^; EARTH: cbb0)."""
+    I3 = jnp.eye(3)
+    gm = 1.0 - dt / corr_time
+    phi = jnp.zeros((NUM_STATE, NUM_STATE))
+    phi = phi.at[_P:_P + 3, _P:_P + 3].set(I3)
+    phi = phi.at[_P:_P + 3, _V:_V + 3].set(I3 * dt)
+    phi = phi.at[_V:_V + 3, _V:_V + 3].set(I3)
+    phi = phi.at[_V:_V + 3, _Q:_Q + 3].set(cbb @ quat.skew(dvel_c))
+    phi = phi.at[_V:_V + 3, _BA:_BA + 3].set(cbb * dt)
+    phi = phi.at[_Q:_Q + 3, _Q:_Q + 3].set(I3 - quat.skew(dtheta_c))
+    phi = phi.at[_Q:_Q + 3, _BG:_BG + 3].set(-I3 * dt)
+    phi = phi.at[_BG:_BG + 3, _BG:_BG + 3].set(I3 * gm)
+    phi = phi.at[_BA:_BA + 3, _BA:_BA + 3].set(I3 * gm)
+    return phi
+
+
+def _gt(cbb, sign_gyro):
+    """Noise input matrix G (15x12)."""
+    g = jnp.zeros((NUM_STATE, NUM_NOISE))
+    g = g.at[_V:_V + 3, 3:6].set(cbb)
+    g = g.at[_Q:_Q + 3, 0:3].set(sign_gyro * jnp.eye(3))
+    g = g.at[_BG:_BG + 3, 6:9].set(jnp.eye(3))
+    g = g.at[_BA:_BA + 3, 9:12].set(jnp.eye(3))
+    return g
+
+
+def preintegrate(
+    params: IntegrationParams,
+    imu: ImuBatch,
+    state0: NavState,
+    *,
+    with_earth: bool,
+    iewn=None,
+):
+    """Preintegrate a zero-padded IMU batch starting from absolute state0.
+
+    imu[0] is the anchor sample (NOT integrated — it provides the dual-sample
+    history, matching imu_buffer_[0] in the reference); samples 1..S-1 with
+    dt > 0 are integrated. Biases are frozen at state0.bg/ba (the
+    linearization point).
+
+    Returns a :class:`PreintSummary`. vmap over a leading axis of
+    (imu, state0[, iewn]) to preintegrate many intervals at once.
+    """
+    bg0, ba0 = state0.bg, state0.ba
+    gravity = jnp.array([0.0, 0.0, 1.0]) * params.gravity
+    q0 = state0.q
+    if iewn is None:
+        iewn = jnp.zeros(3)
+    noise = jnp.diag(_noise_diag(params))
+
+    def body(carry, x):
+        (dp, dq, dv, ap, aq, av, jac, cov, dt_tot, prev, sum_dtpn) = carry
+        dt, dth_raw, dv_raw, t = x
+        # bias compensation at the frozen linearization point
+        dth = dth_raw - dt * bg0
+        dvl = dv_raw - dt * ba0
+        dth_pre, dvl_pre = prev
+
+        dvfb = (
+            dvl
+            + 0.5 * jnp.cross(dth, dvl)
+            + (jnp.cross(dth_pre, dvl) + jnp.cross(dvl_pre, dth)) / 12.0
+        )
+        dtheta = dth + jnp.cross(dth_pre, dth) / 12.0
+
+        dt_new = dt_tot + dt
+
+        if with_earth:
+            # absolute state with earth terms (preintegration_earth.cc:216-242)
+            dv_cor_g = (gravity - 2.0 * jnp.cross(iewn, av)) * dt
+            qnn = quat.from_rotvec(-iewn * dt)
+            dvel_abs = 0.5 * (jnp.eye(3) + quat.to_matrix(qnn)) @ quat.rotate(aq, dvfb) + dv_cor_g
+            ap_new = ap + dt * av + 0.5 * dt * dvel_abs
+            av_new = av + dvel_abs
+            aq_new = quat.normalize(quat.mul(quat.mul(qnn, aq), quat.from_rotvec(dtheta)))
+            sum_dtpn_new = sum_dtpn + dt * ap_new
+
+            # delta state: rotate through the mid-interval earth rotation
+            q_mid = quat.mul(
+                quat.mul(quat.conj(q0), quat.from_rotvec(-(dt_new - 0.5 * dt) * iewn)),
+                quat.mul(q0, dq),
+            )
+            dvel_d = quat.rotate(q_mid, dvfb)
+        else:
+            dvel_abs = quat.rotate(aq, dvfb) + gravity * dt
+            ap_new = ap + dt * av + 0.5 * dt * dvel_abs
+            av_new = av + dvel_abs
+            aq_new = quat.normalize(quat.mul(aq, quat.from_rotvec(dtheta)))
+            sum_dtpn_new = sum_dtpn
+
+            dvel_d = quat.rotate(dq, dvfb)
+
+        dp_new = dp + dt * dv + 0.5 * dt * dvel_d
+        dv_new = dv + dvel_d
+        dq_new = quat.normalize(quat.mul(dq, quat.from_rotvec(dtheta)))
+
+        # error-state propagation (post-update attitude, as in the reference)
+        if with_earth:
+            q_full = quat.mul(
+                quat.mul(quat.conj(q0), quat.from_rotvec(-iewn * dt_new)),
+                quat.mul(q0, dq_new),
+            )
+            cbb = -quat.to_matrix(q_full)
+            sign_gyro = -1.0
+        else:
+            cbb = -quat.to_matrix(dq_new)
+            sign_gyro = 1.0
+
+        phi = _phi_and_g(dt, dth, dvl, cbb, params.corr_time)
+        gmat = _gt(cbb, sign_gyro)
+        gng = gmat @ noise @ gmat.T
+        qk = 0.5 * dt * (phi @ gng + gng @ phi.T)
+        jac_new = phi @ jac
+        cov_new = phi @ cov @ phi.T + qk
+
+        # padded samples (dt==0): phi=I, qk=0 so jac/cov are already no-ops;
+        # states likewise unchanged. Nothing to mask.
+        carry_new = (
+            dp_new, dq_new, dv_new, ap_new, aq_new, av_new,
+            jac_new, cov_new, dt_new, (dth, dvl), sum_dtpn_new,
+        )
+        return carry_new, None
+
+    anchor = (
+        imu.dtheta[0] - imu.dt[0] * bg0,
+        imu.dvel[0] - imu.dt[0] * ba0,
+    )
+    init = (
+        jnp.zeros(3), quat.identity(), jnp.zeros(3),
+        state0.p, state0.q, state0.v,
+        jnp.eye(NUM_STATE), jnp.zeros((NUM_STATE, NUM_STATE)),
+        jnp.zeros(()), anchor, jnp.zeros(3),
+    )
+    xs = (imu.dt[1:], imu.dtheta[1:], imu.dvel[1:], imu.time[1:])
+    (dp, dq, dv, ap, aq, av, jac, cov, dt_tot, _, sum_dtpn), _ = jax.lax.scan(body, init, xs)
+
+    # whitener: U = chol(cov^-1) upper-triangular, U^T U = cov^-1
+    # (the reference forms LLT(cov^-1).L^T, preintegration_normal.cc:40-41)
+    cov_sym = 0.5 * (cov + cov.T)
+    info = jnp.linalg.inv(cov_sym)
+    sqrt_info = jnp.linalg.cholesky(0.5 * (info + info.T)).T
+
+    end_time = jnp.max(jnp.where(imu.dt > 0, imu.time, state0.time))
+
+    return PreintSummary(
+        dt=dt_tot,
+        dp=dp, dv=dv, dq=dq,
+        bg0=bg0, ba0=ba0,
+        dp_dbg=jac[_P:_P + 3, _BG:_BG + 3],
+        dp_dba=jac[_P:_P + 3, _BA:_BA + 3],
+        dv_dbg=jac[_V:_V + 3, _BG:_BG + 3],
+        dv_dba=jac[_V:_V + 3, _BA:_BA + 3],
+        dq_dbg=jac[_Q:_Q + 3, _BG:_BG + 3],
+        sqrt_info=sqrt_info,
+        cov=cov_sym,
+        gravity=gravity,
+        iewn=iewn,
+        sum_dtpn=sum_dtpn,
+        end_p=ap, end_q=aq, end_v=av, end_time=end_time,
+    )
+
+
+def preintegrate_batch(params, imu_batch, states0, *, with_earth, iewn_batch=None):
+    """vmap preintegrate over a leading interval axis.
+
+    imu_batch: ImuBatch with shape (N, S[,3]); states0: NavState with leading
+    (N,) axis; iewn_batch: (N,3) or None. One device call reintegrates the
+    whole sliding window."""
+    if iewn_batch is None:
+        fn = lambda imu, st: preintegrate(params, imu, st, with_earth=with_earth)
+        return jax.vmap(fn)(imu_batch, states0)
+    fn = lambda imu, st, iw: preintegrate(params, imu, st, with_earth=with_earth, iewn=iw)
+    return jax.vmap(fn)(imu_batch, states0, iewn_batch)
