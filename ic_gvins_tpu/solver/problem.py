@@ -1,0 +1,443 @@
+"""Fixed-shape sliding-window problem: parameter layout + batched assembly.
+
+Replaces the reference's ceres::Problem construction (ic_gvins.cc:1130-1239,
+1697-1936) with a TPU-native design: every parameter and factor lives in a
+fixed-size padded table with validity masks, residuals/jacobians evaluate
+under vmap in one fused call, and the Gauss-Newton normal equations are
+assembled with batched scatter-adds into a dense H — no pointers, no
+dynamic shapes, no recompilation as the window slides.
+
+Local parameter layout (D = N*15 + 7 + L columns):
+  node k: [k*15, k*15+6)  pose tangent (dp, dtheta)
+          [k*15+6, k*15+15) mix (v, bg, ba)
+  ext:    [N*15, N*15+6)  camera-IMU extrinsic pose tangent
+  td:     N*15+6          camera-IMU time delay
+  lm j:   N*15+7+j        inverse depth
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quaternion as quat
+from ..factors import basic, preint_factor, reprojection
+from ..factors.robust import correct_block, huber_rho
+from ..ins.preintegration import PreintSummary
+
+NODE_DIM = 15
+POSE_LOCAL = 6
+MIX_DIM = 9
+
+
+class WindowConfig(NamedTuple):
+    """Static table sizes (python ints — part of the jit cache key)."""
+
+    N: int = 20     # time-node slots
+    L: int = 512    # landmark slots
+    G: int = 24     # GNSS factor slots
+    R: int = 2048   # reprojection factor slots
+    with_earth: bool = True
+
+    @property
+    def P(self):
+        return self.N - 1  # preintegration factor slots (consecutive nodes)
+
+    @property
+    def ext_off(self):
+        return self.N * NODE_DIM
+
+    @property
+    def td_off(self):
+        return self.N * NODE_DIM + POSE_LOCAL
+
+    @property
+    def lm_off(self):
+        return self.N * NODE_DIM + POSE_LOCAL + 1
+
+    @property
+    def D(self):
+        return self.N * NODE_DIM + POSE_LOCAL + 1 + self.L
+
+
+class WindowParams(NamedTuple):
+    """Optimizable parameters (device pytree)."""
+
+    poses: jnp.ndarray      # (N,7) [p, q_xyzw]
+    mixes: jnp.ndarray      # (N,9) [v, bg, ba]
+    ext: jnp.ndarray        # (7,)  camera-IMU extrinsic
+    td: jnp.ndarray         # ()    time delay
+    invdepths: jnp.ndarray  # (L,)
+
+    @staticmethod
+    def zeros(cfg: WindowConfig):
+        poses = jnp.zeros((cfg.N, 7)).at[:, 6].set(1.0)
+        return WindowParams(
+            poses=poses,
+            mixes=jnp.zeros((cfg.N, MIX_DIM)),
+            ext=jnp.zeros(7).at[6].set(1.0),
+            td=jnp.zeros(()),
+            invdepths=jnp.full((cfg.L,), 0.1),
+        )
+
+    def boxplus(self, cfg: WindowConfig, dx):
+        """Retract a local step dx (D,) onto the parameters."""
+        dnodes = dx[: cfg.N * NODE_DIM].reshape(cfg.N, NODE_DIM)
+        poses = jax.vmap(quat.boxplus_pose)(self.poses, dnodes[:, :POSE_LOCAL])
+        mixes = self.mixes + dnodes[:, POSE_LOCAL:]
+        ext = quat.boxplus_pose(self.ext, dx[cfg.ext_off : cfg.ext_off + POSE_LOCAL])
+        td = self.td + dx[cfg.td_off]
+        inv = self.invdepths + dx[cfg.lm_off :]
+        return WindowParams(poses, mixes, ext, td, inv)
+
+    def boxminus(self, cfg: WindowConfig, other):
+        """Local difference self ⊟ other → (D,) (for the marg prior)."""
+        dposes = jax.vmap(quat.boxminus_pose)(self.poses, other.poses)
+        dmix = self.mixes - other.mixes
+        dnodes = jnp.concatenate([dposes, dmix], axis=-1).reshape(-1)
+        dext = quat.boxminus_pose(self.ext, other.ext)
+        dtd = (self.td - other.td)[None]
+        dlm = self.invdepths - other.invdepths
+        return jnp.concatenate([dnodes, dext, dtd, dlm])
+
+
+class GnssTable(NamedTuple):
+    idx: jnp.ndarray     # (G,) int32 node index
+    blh: jnp.ndarray     # (G,3) local-frame position observation
+    std: jnp.ndarray     # (G,3)
+    valid: jnp.ndarray   # (G,) 0/1
+    robust: jnp.ndarray  # () 0/1 — Huber on/off (pass 1 vs pass 2)
+
+    @staticmethod
+    def empty(cfg):
+        return GnssTable(
+            idx=jnp.zeros(cfg.G, jnp.int32),
+            blh=jnp.zeros((cfg.G, 3)),
+            std=jnp.ones((cfg.G, 3)),
+            valid=jnp.zeros(cfg.G),
+            robust=jnp.ones(()),
+        )
+
+
+class PreintTable(NamedTuple):
+    summ: PreintSummary   # batched (P, ...)
+    idx0: jnp.ndarray     # (P,) int32 — factor connects idx0, idx0+1
+    valid: jnp.ndarray    # (P,)
+
+    @staticmethod
+    def empty(cfg):
+        z3 = jnp.zeros((cfg.P, 3))
+        z33 = jnp.zeros((cfg.P, 3, 3))
+        summ = PreintSummary(
+            dt=jnp.ones(cfg.P), dp=z3, dv=z3,
+            dq=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (cfg.P, 1)),
+            bg0=z3, ba0=z3,
+            dp_dbg=z33, dp_dba=z33, dv_dbg=z33, dv_dba=z33, dq_dbg=z33,
+            sqrt_info=jnp.tile(jnp.eye(15), (cfg.P, 1, 1)),
+            cov=jnp.tile(jnp.eye(15), (cfg.P, 1, 1)),
+            gravity=z3, iewn=z3, sum_dtpn=z3,
+            end_p=z3, end_q=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (cfg.P, 1)),
+            end_v=z3, end_time=jnp.zeros(cfg.P),
+        )
+        return PreintTable(summ=summ, idx0=jnp.zeros(cfg.P, jnp.int32), valid=jnp.zeros(cfg.P))
+
+
+class ReprojTable(NamedTuple):
+    ref_idx: jnp.ndarray   # (R,) node of the landmark's reference keyframe
+    obs_idx: jnp.ndarray   # (R,) node of the observing keyframe
+    lm_idx: jnp.ndarray    # (R,) landmark slot
+    pts0: jnp.ndarray      # (R,3) normalized-plane point in ref frame
+    pts1: jnp.ndarray      # (R,3) in obs frame
+    vel0: jnp.ndarray      # (R,3) pixel velocity (normalized plane)
+    vel1: jnp.ndarray      # (R,3)
+    td0: jnp.ndarray       # (R,)
+    td1: jnp.ndarray       # (R,)
+    valid: jnp.ndarray     # (R,)
+    sqrt_info: jnp.ndarray # () scalar 1/std in normalized plane
+    robust: jnp.ndarray    # () 0/1
+
+    @staticmethod
+    def empty(cfg):
+        z3 = jnp.zeros((cfg.R, 3))
+        pts = z3.at[:, 2].set(1.0)
+        return ReprojTable(
+            ref_idx=jnp.zeros(cfg.R, jnp.int32),
+            obs_idx=jnp.ones(cfg.R, jnp.int32),
+            lm_idx=jnp.zeros(cfg.R, jnp.int32),
+            pts0=pts, pts1=pts, vel0=z3, vel1=z3,
+            td0=jnp.zeros(cfg.R), td1=jnp.zeros(cfg.R),
+            valid=jnp.zeros(cfg.R),
+            sqrt_info=jnp.ones(()),
+            robust=jnp.ones(()),
+        )
+
+
+class PriorTable(NamedTuple):
+    """Initialization priors on node 0 (constructPrior, ic_gvins.cc:1911-1936)
+    + the bias-bounding ImuErrorFactor on the newest mix block."""
+
+    pose_prior: jnp.ndarray      # (7,)
+    pose_prior_std: jnp.ndarray  # (6,)
+    mix_prior: jnp.ndarray       # (9,)
+    mix_prior_std: jnp.ndarray   # (9,)
+    valid: jnp.ndarray           # () 0/1
+    imuerr_idx: jnp.ndarray      # () int32 node of the newest mix
+
+    @staticmethod
+    def empty(cfg):
+        return PriorTable(
+            pose_prior=jnp.zeros(7).at[6].set(1.0),
+            pose_prior_std=jnp.ones(6),
+            mix_prior=jnp.zeros(MIX_DIM),
+            mix_prior_std=jnp.ones(MIX_DIM),
+            valid=jnp.zeros(()),
+            imuerr_idx=jnp.zeros((), jnp.int32),
+        )
+
+
+class MargPrior(NamedTuple):
+    """Linearized prior from marginalization: e = e0 + J0 (x ⊟ x0).
+
+    J0 columns follow the global local layout; columns of parameters absent
+    from the prior are identically zero (equivalent to the reference keeping
+    only 'remained' blocks, marginalization_factor.h:47-101)."""
+
+    J0: jnp.ndarray        # (D,D)
+    H0: jnp.ndarray        # (D,D) cached J0^T J0
+    e0: jnp.ndarray        # (D,)
+    Jte0: jnp.ndarray      # (D,) cached J0^T e0
+    x0: WindowParams       # linearization point
+    valid: jnp.ndarray     # ()
+
+    @staticmethod
+    def empty(cfg):
+        return MargPrior(
+            J0=jnp.zeros((cfg.D, cfg.D)),
+            H0=jnp.zeros((cfg.D, cfg.D)),
+            e0=jnp.zeros(cfg.D),
+            Jte0=jnp.zeros(cfg.D),
+            x0=WindowParams.zeros(cfg),
+            valid=jnp.zeros(()),
+        )
+
+
+class FactorTables(NamedTuple):
+    gnss: GnssTable
+    preint: PreintTable
+    reproj: ReprojTable
+    prior: PriorTable
+    marg: MargPrior
+    antlever: jnp.ndarray    # (3,)
+    node_valid: jnp.ndarray  # (N,)
+    lm_valid: jnp.ndarray    # (L,)
+    ext_active: jnp.ndarray  # () 0/1 — estimate extrinsic
+    td_active: jnp.ndarray   # () 0/1 — estimate time delay
+
+    @staticmethod
+    def empty(cfg):
+        return FactorTables(
+            gnss=GnssTable.empty(cfg),
+            preint=PreintTable.empty(cfg),
+            reproj=ReprojTable.empty(cfg),
+            prior=PriorTable.empty(cfg),
+            marg=MargPrior.empty(cfg),
+            antlever=jnp.zeros(3),
+            node_valid=jnp.zeros(cfg.N),
+            lm_valid=jnp.zeros(cfg.L),
+            ext_active=jnp.zeros(()),
+            td_active=jnp.zeros(()),
+        )
+
+
+# ---------------------------------------------------------------------------
+# residual / chi2 evaluation
+# ---------------------------------------------------------------------------
+
+
+def _gnss_residuals(params, t: GnssTable, antlever):
+    poses = params.poses[t.idx]
+    r = jax.vmap(basic.gnss_residual, in_axes=(0, 0, 0, None))(poses, t.blh, t.std, antlever)
+    return r  # (G,3) whitened, uncorrected
+
+
+def _preint_residuals(params, t: PreintTable, with_earth):
+    pose0 = params.poses[t.idx0]
+    mix0 = params.mixes[t.idx0]
+    pose1 = params.poses[t.idx0 + 1]
+    mix1 = params.mixes[t.idx0 + 1]
+    fn = lambda s, a, b, c, d: preint_factor.residual(s, a, b, c, d, with_earth=with_earth)
+    return jax.vmap(fn)(t.summ, pose0, mix0, pose1, mix1)  # (P,15)
+
+
+def _reproj_residuals(params, t: ReprojTable):
+    pose0 = params.poses[t.ref_idx]
+    pose1 = params.poses[t.obs_idx]
+    inv = params.invdepths[t.lm_idx]
+    fn = lambda p0, p1, iv, a, b, c, d, e, f: reprojection.residual(
+        p0, p1, params.ext, iv, params.td, a, b, c, d, e, f, t.sqrt_info
+    )
+    return jax.vmap(fn)(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)  # (R,2)
+
+
+def chi2_blocks(params, tables: FactorTables, cfg: WindowConfig):
+    """Per-factor chi2 (squared whitened residual norm) for outlier logic
+    (gnssOutlierCullingByChi2 / removeReprojectionFactorsByChi2,
+    ic_gvins.cc:1241-1297)."""
+    rg = _gnss_residuals(params, tables.gnss, tables.antlever)
+    rr = _reproj_residuals(params, tables.reproj)
+    return jnp.sum(rg * rg, axis=-1), jnp.sum(rr * rr, axis=-1)
+
+
+def total_cost(params, tables: FactorTables, cfg: WindowConfig):
+    """Robustified total cost 0.5 * sum rho(|r|^2) over valid factors."""
+    rg = _gnss_residuals(params, tables.gnss, tables.antlever)
+    sg = jnp.sum(rg * rg, axis=-1)
+    rho_g, _, _ = huber_rho(sg)
+    rho_g = jnp.where(tables.gnss.robust > 0, rho_g, sg)
+    cost = 0.5 * jnp.sum(rho_g * tables.gnss.valid)
+
+    rp = _preint_residuals(params, tables.preint, cfg.with_earth)
+    cost += 0.5 * jnp.sum(jnp.sum(rp * rp, axis=-1) * tables.preint.valid)
+
+    rr = _reproj_residuals(params, tables.reproj)
+    sr = jnp.sum(rr * rr, axis=-1)
+    rho_r, _, _ = huber_rho(sr)
+    rho_r = jnp.where(tables.reproj.robust > 0, rho_r, sr)
+    cost += 0.5 * jnp.sum(rho_r * tables.reproj.valid)
+
+    # imu error factor on newest mix
+    re = basic.imu_error_residual(params.mixes[tables.prior.imuerr_idx])
+    cost += 0.5 * jnp.sum(re * re)
+
+    # init priors
+    rpp = basic.pose_prior_residual(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
+    rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
+    cost += 0.5 * tables.prior.valid * (jnp.sum(rpp * rpp) + jnp.sum(rmp * rmp))
+
+    # marginalization prior
+    dx = params.boxminus(cfg, tables.marg.x0)
+    rm = tables.marg.e0 + tables.marg.J0 @ dx
+    cost += 0.5 * tables.marg.valid * jnp.sum(rm * rm)
+    return cost
+
+
+# ---------------------------------------------------------------------------
+# normal-equation assembly
+# ---------------------------------------------------------------------------
+
+
+def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
+    """Assemble H (D,D), b (D,) = -J^T r with robust correction and masks.
+
+    Batched per-type evaluation + scatter-add; one XLA program, MXU-friendly
+    einsum contractions for the outer products."""
+    D = cfg.D
+    H = jnp.zeros((D, D))
+    b = jnp.zeros(D)
+
+    # ---- GNSS (3 res, 6 cols) ----
+    t = tables.gnss
+    poses = params.poses[t.idx]
+    rg = jax.vmap(basic.gnss_residual, in_axes=(0, 0, 0, None))(poses, t.blh, t.std, tables.antlever)
+    Jg = jax.vmap(basic.gnss_jacobian, in_axes=(0, 0, None))(poses, t.std, tables.antlever)
+    rg, Jg = jax.vmap(correct_block, in_axes=(0, 0, None))(rg, Jg, t.robust > 0)
+    w = t.valid
+    cols = (t.idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]  # (G,6)
+    JtJ = jnp.einsum("gri,grj,g->gij", Jg, Jg, w)
+    Jtr = jnp.einsum("gri,gr,g->gi", Jg, rg, w)
+    H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
+    b = b.at[cols].add(-Jtr)
+
+    # ---- preintegration (15 res, 30 cols over consecutive nodes) ----
+    t = tables.preint
+    pose0, mix0 = params.poses[t.idx0], params.mixes[t.idx0]
+    pose1, mix1 = params.poses[t.idx0 + 1], params.mixes[t.idx0 + 1]
+    rp = jax.vmap(lambda s, a, b_, c, d: preint_factor.residual(s, a, b_, c, d, with_earth=cfg.with_earth))(
+        t.summ, pose0, mix0, pose1, mix1
+    )
+    Jp0, Jm0, Jp1, Jm1 = jax.vmap(
+        lambda s, a, b_, c, d: preint_factor.jacobians(s, a, b_, c, d, with_earth=cfg.with_earth)
+    )(t.summ, pose0, mix0, pose1, mix1)
+    Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)  # (P,15,30)
+    w = t.valid
+    cols = (t.idx0 * NODE_DIM)[:, None] + jnp.arange(2 * NODE_DIM, dtype=jnp.int32)[None, :]  # (P,30)
+    JtJ = jnp.einsum("pri,prj,p->pij", Jcat, Jcat, w)
+    Jtr = jnp.einsum("pri,pr,p->pi", Jcat, rp, w)
+    H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
+    b = b.at[cols].add(-Jtr)
+
+    # ---- reprojection (2 res, 20 cols) ----
+    t = tables.reproj
+    pose0, pose1 = params.poses[t.ref_idx], params.poses[t.obs_idx]
+    inv = params.invdepths[t.lm_idx]
+    rr = jax.vmap(
+        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.residual(
+            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
+        )
+    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
+    J0r, J1r, Jer, Jidr, Jtdr = jax.vmap(
+        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.jacobians(
+            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
+        )
+    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
+    # column gating for fixed extrinsic/td
+    Jer = Jer * tables.ext_active
+    Jtdr = Jtdr * tables.td_active
+    Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
+    rr, Jcat = jax.vmap(correct_block, in_axes=(0, 0, None))(rr, Jcat, t.robust > 0)
+    w = t.valid
+    cols = jnp.concatenate(
+        [
+            (t.ref_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :],
+            (t.obs_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :],
+            jnp.tile(cfg.ext_off + jnp.arange(POSE_LOCAL, dtype=jnp.int32), (cfg.R, 1)),
+            (cfg.lm_off + t.lm_idx)[:, None],
+            jnp.full((cfg.R, 1), cfg.td_off, dtype=jnp.int32),
+        ],
+        axis=-1,
+    )  # (R,20) — [pose_ref, pose_obs, ext, lm, td], matching Jcat's block order
+    JtJ = jnp.einsum("nri,nrj,n->nij", Jcat, Jcat, w)
+    Jtr = jnp.einsum("nri,nr,n->ni", Jcat, rr, w)
+    H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
+    b = b.at[cols].add(-Jtr)
+
+    # ---- imu error factor (6 res, 9 mix cols of the newest node) ----
+    kmix = tables.prior.imuerr_idx
+    re = basic.imu_error_residual(params.mixes[kmix])
+    Je = basic.imu_error_jacobian()
+    cols_e = kmix * NODE_DIM + POSE_LOCAL + jnp.arange(MIX_DIM, dtype=jnp.int32)
+    H = H.at[cols_e[:, None], cols_e[None, :]].add(Je.T @ Je)
+    b = b.at[cols_e].add(-(Je.T @ re))
+
+    # ---- init priors on node 0 ----
+    pv = tables.prior.valid
+    rpp = basic.pose_prior_residual(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
+    Jpp = basic.pose_prior_jacobian(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
+    H = H.at[:POSE_LOCAL, :POSE_LOCAL].add(pv * (Jpp.T @ Jpp))
+    b = b.at[:POSE_LOCAL].add(-pv * (Jpp.T @ rpp))
+    rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
+    Jmp = basic.mix_prior_jacobian(tables.prior.mix_prior_std)
+    sl = slice(POSE_LOCAL, NODE_DIM)
+    H = H.at[sl, sl].add(pv * (Jmp.T @ Jmp))
+    b = b.at[sl].add(-pv * (Jmp.T @ rmp))
+
+    # ---- marginalization prior ----
+    mv = tables.marg.valid
+    dx0 = params.boxminus(cfg, tables.marg.x0)
+    H = H + mv * tables.marg.H0
+    b = b - mv * (tables.marg.Jte0 + tables.marg.H0 @ dx0)
+
+    # ---- column activity: gauge invalid/fixed parameters ----
+    node_act = jnp.repeat(tables.node_valid, NODE_DIM)
+    act = jnp.concatenate(
+        [
+            node_act,
+            jnp.full(POSE_LOCAL, 1.0) * tables.ext_active,
+            tables.td_active[None],
+            tables.lm_valid,
+        ]
+    )
+    H = H * act[:, None] * act[None, :] + jnp.diag(1.0 - act)
+    b = b * act
+    return H, b, act

@@ -1,0 +1,222 @@
+"""LM solver tests on synthetic GNSS/INS and visual problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import synthetic as syn
+from ic_gvins_tpu.core import quaternion as quat
+from ic_gvins_tpu.core.types import NavState
+from ic_gvins_tpu.solver import lm
+from ic_gvins_tpu.solver.problem import (
+    FactorTables,
+    WindowConfig,
+    WindowParams,
+    total_cost,
+)
+
+CFG = WindowConfig(N=8, L=64, G=8, R=256, with_earth=False)
+
+
+def build_gins_problem(noise_gnss=0.0, seed=0):
+    """Synthetic GNSS/INS window: 6 nodes 0.5 s apart at 200 Hz."""
+    rng = np.random.default_rng(seed)
+    n_nodes = 6
+    steps = 100
+    imu = syn.smooth_imu(steps * (n_nodes - 1) + 1, 0.005, seed=seed)
+    st0 = NavState.identity()._replace(v=jnp.asarray(rng.normal(0, 1, 3)))
+    node_steps = [k * steps for k in range(n_nodes)]
+    states = syn.propagate_nodes(imu, st0, node_steps)
+    summs = syn.preint_segments(syn.default_params(), imu, states, node_steps)
+
+    lever = jnp.array([-0.3, 0.01, 0.35])
+
+    tables = FactorTables.empty(CFG)
+    # gnss at each node
+    gnss_pos = np.stack(
+        [np.asarray(s.p + quat.rotate(s.q, lever)) for s in states]
+    ) + rng.normal(0, noise_gnss, (n_nodes, 3))
+    g = tables.gnss
+    g = g._replace(
+        idx=g.idx.at[:n_nodes].set(jnp.arange(n_nodes)),
+        blh=g.blh.at[:n_nodes].set(jnp.asarray(gnss_pos)),
+        std=g.std.at[:n_nodes].set(0.1),
+        valid=g.valid.at[:n_nodes].set(1.0),
+    )
+    p = tables.preint
+    p = p._replace(
+        summ=syn.stack_summaries(summs, pad_to=CFG.P),
+        idx0=p.idx0.at[: n_nodes - 1].set(jnp.arange(n_nodes - 1)),
+        valid=p.valid.at[: n_nodes - 1].set(1.0),
+    )
+    pr = tables.prior
+    pose0 = jnp.concatenate([states[0].p, states[0].q])
+    mix0 = jnp.concatenate([states[0].v, states[0].bg, states[0].ba])
+    pr = pr._replace(
+        pose_prior=pose0,
+        pose_prior_std=jnp.array([0.1, 0.1, 0.1, 0.01, 0.01, 0.03]),
+        mix_prior=mix0,
+        mix_prior_std=jnp.concatenate([jnp.full(3, 0.1), jnp.full(3, 7.2 / 3600 * np.pi / 180 * 3), jnp.full(3, 0.2)]),
+        valid=jnp.ones(()),
+        imuerr_idx=jnp.asarray(n_nodes - 1, jnp.int32),
+    )
+    tables = tables._replace(
+        gnss=g,
+        preint=p,
+        prior=pr,
+        antlever=lever,
+        node_valid=tables.node_valid.at[:n_nodes].set(1.0),
+    )
+
+    # ground truth params
+    truth = WindowParams.zeros(CFG)
+    for k, s in enumerate(states):
+        truth = truth._replace(
+            poses=truth.poses.at[k].set(jnp.concatenate([s.p, s.q])),
+            mixes=truth.mixes.at[k].set(jnp.concatenate([s.v, s.bg, s.ba])),
+        )
+    return tables, truth, states, n_nodes
+
+
+def perturb(truth, n_nodes, seed=1, dp=0.5, dth=0.05, dv=0.3, dbias=1e-3):
+    rng = np.random.default_rng(seed)
+    params = truth
+    for k in range(n_nodes):
+        d = jnp.concatenate(
+            [
+                jnp.asarray(rng.normal(0, dp, 3)),
+                jnp.asarray(rng.normal(0, dth, 3)),
+            ]
+        )
+        params = params._replace(
+            poses=params.poses.at[k].set(quat.boxplus_pose(truth.poses[k], d)),
+            mixes=params.mixes.at[k].set(
+                truth.mixes[k]
+                + jnp.concatenate(
+                    [jnp.asarray(rng.normal(0, dv, 3)), jnp.asarray(rng.normal(0, dbias, 6))]
+                )
+            ),
+        )
+    return params
+
+
+def test_gins_recovers_truth():
+    tables, truth, states, n_nodes = build_gins_problem(noise_gnss=0.0)
+    params0 = perturb(truth, n_nodes)
+
+    cost0 = float(total_cost(params0, tables, CFG))
+    solve = jax.jit(lambda p, t: lm.solve(p, t, CFG, 50), static_argnames=())
+    params, stats, _ = solve(params0, tables)
+
+    assert float(stats.final_cost) < cost0 * 1e-6
+    # node positions recovered to sub-mm (noise-free observations)
+    for k in range(n_nodes):
+        np.testing.assert_allclose(
+            np.asarray(params.poses[k, :3]), np.asarray(truth.poses[k, :3]), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(params.mixes[k, :3]), np.asarray(truth.mixes[k, :3]), atol=5e-3
+        )
+    assert int(stats.iterations) >= 3
+
+
+def test_gins_with_noise_converges():
+    tables, truth, states, n_nodes = build_gins_problem(noise_gnss=0.05, seed=5)
+    params0 = perturb(truth, n_nodes, seed=6)
+    params, stats, _ = jax.jit(lambda p, t: lm.solve(p, t, CFG, 30))(params0, tables)
+    for k in range(n_nodes):
+        err = np.linalg.norm(np.asarray(params.poses[k, :3] - truth.poses[k, :3]))
+        assert err < 0.15, f"node {k} err {err}"
+
+
+def test_two_pass_gnss_reweighting():
+    tables, truth, states, n_nodes = build_gins_problem(noise_gnss=0.02, seed=7)
+    # corrupt one GNSS observation grossly
+    g = tables.gnss
+    g = g._replace(blh=g.blh.at[2].add(jnp.array([3.0, -2.0, 1.0])))
+    tables = tables._replace(gnss=g)
+    params0 = perturb(truth, n_nodes, seed=8, dp=0.2)
+
+    params, tables2, (s1, s2, n_gnss_out, n_rep_out) = jax.jit(
+        lambda p, t: lm.solve_two_pass(p, t, CFG, 20)
+    )(params0, tables)
+
+    assert int(n_gnss_out) >= 1  # the corrupted obs was flagged
+    # its std was inflated
+    assert float(tables2.gnss.std[2, 0]) > float(tables.gnss.std[2, 0]) * 2
+    # solution stays close to truth despite the outlier
+    for k in range(n_nodes):
+        err = np.linalg.norm(np.asarray(params.poses[k, :3] - truth.poses[k, :3]))
+        assert err < 0.2, f"node {k} err {err}"
+
+
+def test_visual_ba_schur():
+    """Pure visual BA: 3 fixed-ish poses, landmarks with perfect projections;
+    perturbed inverse depths + middle pose recover via Schur elimination."""
+    rng = np.random.default_rng(11)
+    cfg = WindowConfig(N=4, L=64, G=4, R=256, with_earth=False)
+    n_lm = 40
+
+    # camera = identity extrinsic for simplicity; poses looking down +z
+    poses = []
+    for k in range(3):
+        p = jnp.array([0.4 * k, 0.05 * k, 0.0])
+        q = quat.from_rotvec(jnp.asarray(rng.normal(0, 0.02, 3)))
+        poses.append(jnp.concatenate([p, q]))
+
+    pts_w = rng.uniform(-2, 2, (n_lm, 3)) + np.array([0.5, 0, 8.0])
+
+    def project(pose, pw):
+        R = quat.to_matrix(pose[3:7])
+        pc = R.T @ (jnp.asarray(pw) - pose[:3])
+        return pc / pc[2], pc[2]
+
+    tables = FactorTables.empty(cfg)
+    r = tables.reproj
+    truth = WindowParams.zeros(cfg)
+    for k, pose in enumerate(poses):
+        truth = truth._replace(poses=truth.poses.at[k].set(pose))
+
+    slot = 0
+    for j in range(n_lm):
+        pn0, depth0 = project(poses[0], pts_w[j])
+        truth = truth._replace(invdepths=truth.invdepths.at[j].set(1.0 / depth0))
+        for k in (1, 2):
+            pn1, _ = project(poses[k], pts_w[j])
+            r = r._replace(
+                ref_idx=r.ref_idx.at[slot].set(0),
+                obs_idx=r.obs_idx.at[slot].set(k),
+                lm_idx=r.lm_idx.at[slot].set(j),
+                pts0=r.pts0.at[slot].set(pn0),
+                pts1=r.pts1.at[slot].set(pn1),
+                valid=r.valid.at[slot].set(1.0),
+            )
+            slot += 1
+    r = r._replace(sqrt_info=jnp.asarray(780.0 / 1.5))
+    tables = tables._replace(
+        reproj=r,
+        node_valid=tables.node_valid.at[:3].set(1.0),
+        lm_valid=tables.lm_valid.at[:n_lm].set(1.0),
+    )
+    # anchor poses 0 and 2 with strong pose priors? Instead: gauge by GNSS-like
+    # priors: use pose prior on node 0 plus gnss factors pinning all three.
+    g = tables.gnss
+    for k in range(3):
+        g = g._replace(
+            idx=g.idx.at[k].set(k),
+            blh=g.blh.at[k].set(truth.poses[k, :3]),
+            std=g.std.at[k].set(0.001),
+            valid=g.valid.at[k].set(1.0),
+        )
+    tables = tables._replace(gnss=g, antlever=jnp.zeros(3))
+
+    # perturb invdepths + middle pose attitude
+    params0 = truth._replace(
+        invdepths=truth.invdepths + jnp.asarray(rng.normal(0, 0.02, cfg.L)),
+    )
+
+    params, stats, _ = jax.jit(lambda p, t: lm.solve(p, t, cfg, 25))(params0, tables)
+    assert float(stats.final_cost) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(params.invdepths[:n_lm]), np.asarray(truth.invdepths[:n_lm]), atol=1e-6
+    )
