@@ -1,0 +1,156 @@
+"""Schur-complement marginalization as full-layout masked dense linalgebra.
+
+Parity target: MarginalizationInfo (factors/marginalization_info.h:73-253):
+evaluate the factors touching the marginalized parameters, assemble H/b,
+Schur-eliminate the marginalized block with an eigen pseudo-inverse
+(EPS = 1e-8), and sqrt-factorize the reduced system into a linearized prior
+(J0, e0) replayed as e = e0 + J0 (x ⊟ x0).
+
+TPU-native design: instead of the reference's pointer-keyed index maps and
+marg-first reordering, everything stays in the FULL fixed window layout (D
+columns). The marginalized set is a 0/1 mask; the Schur complement is
+computed with masked blocks and a clamped eigendecomposition, and parameters
+absent from the collected factors simply have zero rows/columns — their J0
+columns come out zero, which is exactly equivalent to the reference keeping
+only "remained" blocks. No dynamic shapes, no per-event recompilation.
+
+Window shifts after marginalization are a column roll of J0 / x0
+(`shift_prior`), replacing the reference's parameter-block remapping
+(ic_gvins.cc:1616-1627).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..core import quaternion as quat
+from ..solver.problem import (
+    MIX_DIM,
+    NODE_DIM,
+    POSE_LOCAL,
+    FactorTables,
+    MargPrior,
+    WindowConfig,
+    WindowParams,
+    build_normal_equations,
+)
+
+EPS = 1e-8
+
+
+def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg: WindowConfig):
+    """Compute the linearized prior from the factors in ``marg_tables``.
+
+    marg_tables: a FactorTables where ONLY the factors touching marginalized
+    parameters are valid (the caller selects them: old prior, GNSS at marged
+    nodes, preintegrations below the cut, init priors, oldest-keyframe
+    reprojections — ic_gvins.cc:1482-1610). Robust flags: Huber on the
+    reprojection blocks only.
+    marg_mask: (D,) 0/1 — 1 for marginalized local coordinates.
+
+    Returns a MargPrior linearized at ``params``.
+    """
+    H, b, act = build_normal_equations(params, marg_tables, cfg)
+    # the prior inside marg_tables is evaluated at its own x0; H/b from
+    # build_normal_equations already include it.
+
+    m = marg_mask
+    r = (1.0 - m) * act  # remained & active
+
+    Hmm = H * m[:, None] * m[None, :]
+    Hrm = H * r[:, None] * m[None, :]
+    Hrr = H * r[:, None] * r[None, :]
+    bm = b * m
+    br = b * r
+
+    # eigen pseudo-inverse of the marginalized block (marginalization_info.h:180-187)
+    Hmm = 0.5 * (Hmm + Hmm.T)
+    w, V = jnp.linalg.eigh(Hmm)
+    w_inv = jnp.where(w > EPS, 1.0 / jnp.where(w > EPS, w, 1.0), 0.0)
+    Hmm_inv = (V * w_inv[None, :]) @ V.T
+
+    Hp = Hrr - Hrm @ Hmm_inv @ Hrm.T
+    bp = br - Hrm @ (Hmm_inv @ bm)
+
+    # sqrt factorization (marginalization_info.h:153-167)
+    Hp = 0.5 * (Hp + Hp.T)
+    s, U = jnp.linalg.eigh(Hp)
+    s_clamped = jnp.where(s > EPS, s, 0.0)
+    s_inv = jnp.where(s > EPS, 1.0 / jnp.where(s > EPS, s, 1.0), 0.0)
+    J0 = jnp.sqrt(s_clamped)[:, None] * U.T
+    e0 = -(jnp.sqrt(s_inv)[:, None] * U.T) @ bp
+
+    H0 = J0.T @ J0
+    Jte0 = J0.T @ e0
+    return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=params, valid=jnp.ones(()))
+
+
+def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
+    """Shift node slots left by ``shift`` after the window slides.
+
+    Node-block columns of J0 (and the node entries of x0) roll left by
+    shift*NODE_DIM; vacated tail columns are zeroed. ext/td/landmark columns
+    are unchanged. ``shift`` may be a traced integer."""
+    N = cfg.N
+    nd = N * NODE_DIM
+
+    keep = (jnp.arange(N) < (N - shift)).astype(prior.J0.dtype)
+    keep_cols = jnp.repeat(keep, NODE_DIM)
+
+    Jn = jnp.roll(prior.J0[:, :nd], -shift * NODE_DIM, axis=1) * keep_cols[None, :]
+    J0 = jnp.concatenate([Jn, prior.J0[:, nd:]], axis=1)
+
+    poses0 = jnp.roll(prior.x0.poses, -shift, axis=0)
+    poses0 = jnp.where(keep[:, None] > 0, poses0, jnp.zeros_like(poses0).at[:, 6].set(1.0))
+    mixes0 = jnp.roll(prior.x0.mixes, -shift, axis=0) * keep[:, None]
+    x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
+
+    H0 = J0.T @ J0
+    Jte0 = J0.T @ prior.e0
+    return prior._replace(J0=J0, H0=H0, Jte0=Jte0, x0=x0)
+
+
+def select_marg_factors(tables: FactorTables, cfg: WindowConfig, num_marg, oldest_kf_node):
+    """Build the marg_tables + marg mask for marginalizing nodes
+    [0, num_marg) and the landmarks referenced by the oldest keyframe
+    (ic_gvins.cc:1482-1610). Pure array ops; num_marg/oldest_kf_node may be
+    traced.
+
+    Marginalized coordinates: all node blocks below the cut + the inverse
+    depths whose reprojection reference node is the oldest keyframe node.
+    """
+    t = tables
+
+    # GNSS factors at marged nodes only
+    g_valid = t.gnss.valid * (t.gnss.idx < num_marg)
+    gnss = t.gnss._replace(valid=g_valid, robust=jnp.zeros(()))
+
+    # preintegration factors below the cut
+    p_valid = t.preint.valid * (t.preint.idx0 < num_marg)
+    preint = t.preint._replace(valid=p_valid)
+
+    # reprojections whose landmark reference frame is the oldest keyframe
+    r = t.reproj
+    r_valid = r.valid * (r.ref_idx == oldest_kf_node)
+    reproj = r._replace(valid=r_valid, robust=jnp.ones(()))
+
+    # init priors pass through (valid flag already set/cleared by the engine);
+    # the ImuErrorFactor is NEVER part of marginalization
+    prior = t.prior._replace(imuerr_valid=jnp.zeros(()))
+
+    marg_tables = t._replace(gnss=gnss, preint=preint, reproj=reproj, prior=prior)
+
+    # marg mask over columns
+    node_m = (jnp.arange(cfg.N) < num_marg).astype(jnp.float64)
+    lm_m = jnp.zeros(cfg.L)
+    # landmarks whose reference node is marginalized
+    ref_is_old = (r.ref_idx == oldest_kf_node) & (r.valid > 0)
+    lm_m = lm_m.at[r.lm_idx].max(ref_is_old.astype(jnp.float64))
+    mask = jnp.concatenate(
+        [
+            jnp.repeat(node_m, NODE_DIM),
+            jnp.zeros(POSE_LOCAL),  # extrinsic always remains
+            jnp.zeros(1),           # td always remains
+            lm_m,
+        ]
+    )
+    return marg_tables, mask, lm_m

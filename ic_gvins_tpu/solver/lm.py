@@ -19,7 +19,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .problem import FactorTables, WindowConfig, WindowParams, build_normal_equations, chi2_blocks, total_cost
+from .problem import (
+    FactorTables,
+    WindowConfig,
+    WindowParams,
+    apply_gauge,
+    build_normal_equations,
+    chi2_blocks,
+    total_cost,
+)
 
 # chi2 thresholds (ic_gvins.cc:1199, 1243)
 GNSS_CHI2 = 7.815
@@ -70,6 +78,7 @@ def solve(params: WindowParams, tables: FactorTables, cfg: WindowConfig, max_ite
     def body(carry):
         it, accepted, params, cost, radius, done = carry
         H, b, act = build_normal_equations(params, tables, cfg)
+        H, b = apply_gauge(H, b, act)
         # Ceres: damping with the scaled diagonal, clamped
         diagH = jnp.clip(jnp.diag(H), 1e-6, 1e32)
         mu = 1.0 / radius

@@ -183,6 +183,7 @@ class PriorTable(NamedTuple):
     mix_prior_std: jnp.ndarray   # (9,)
     valid: jnp.ndarray           # () 0/1
     imuerr_idx: jnp.ndarray      # () int32 node of the newest mix
+    imuerr_valid: jnp.ndarray    # () 0/1 (off inside marginalization)
 
     @staticmethod
     def empty(cfg):
@@ -193,6 +194,7 @@ class PriorTable(NamedTuple):
             mix_prior_std=jnp.ones(MIX_DIM),
             valid=jnp.zeros(()),
             imuerr_idx=jnp.zeros((), jnp.int32),
+            imuerr_valid=jnp.ones(()),
         )
 
 
@@ -308,7 +310,7 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig):
 
     # imu error factor on newest mix
     re = basic.imu_error_residual(params.mixes[tables.prior.imuerr_idx])
-    cost += 0.5 * jnp.sum(re * re)
+    cost += 0.5 * tables.prior.imuerr_valid * jnp.sum(re * re)
 
     # init priors
     rpp = basic.pose_prior_residual(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
@@ -404,11 +406,12 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
 
     # ---- imu error factor (6 res, 9 mix cols of the newest node) ----
     kmix = tables.prior.imuerr_idx
+    ev = tables.prior.imuerr_valid
     re = basic.imu_error_residual(params.mixes[kmix])
     Je = basic.imu_error_jacobian()
     cols_e = kmix * NODE_DIM + POSE_LOCAL + jnp.arange(MIX_DIM, dtype=jnp.int32)
-    H = H.at[cols_e[:, None], cols_e[None, :]].add(Je.T @ Je)
-    b = b.at[cols_e].add(-(Je.T @ re))
+    H = H.at[cols_e[:, None], cols_e[None, :]].add(ev * (Je.T @ Je))
+    b = b.at[cols_e].add(-ev * (Je.T @ re))
 
     # ---- init priors on node 0 ----
     pv = tables.prior.valid
@@ -428,9 +431,13 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     H = H + mv * tables.marg.H0
     b = b - mv * (tables.marg.Jte0 + tables.marg.H0 @ dx0)
 
-    # ---- column activity: gauge invalid/fixed parameters ----
+    return H, b, column_activity(tables, cfg)
+
+
+def column_activity(tables: FactorTables, cfg: WindowConfig):
+    """(D,) 0/1 mask of optimizable columns."""
     node_act = jnp.repeat(tables.node_valid, NODE_DIM)
-    act = jnp.concatenate(
+    return jnp.concatenate(
         [
             node_act,
             jnp.full(POSE_LOCAL, 1.0) * tables.ext_active,
@@ -438,6 +445,10 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
             tables.lm_valid,
         ]
     )
+
+
+def apply_gauge(H, b, act):
+    """Freeze inactive columns: unit diagonal, zero gradient -> dx = 0."""
     H = H * act[:, None] * act[None, :] + jnp.diag(1.0 - act)
     b = b * act
-    return H, b, act
+    return H, b
