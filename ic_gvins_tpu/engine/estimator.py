@@ -1,0 +1,416 @@
+"""Sliding-window estimator: host bookkeeping + fixed-shape device kernels.
+
+This is the TPU-native re-design of the GVINS orchestrator's state/window
+management (ic_gvins.cc:724-928, 1412-1695): the host keeps an authoritative
+mirror of the window structure (node times, GNSS entries, IMU segments) in
+numpy; all numerics — preintegration, the two-pass LM solve, reintegration,
+marginalization — run as fixed-shape jitted device programs operating on
+padded tables. Structure edits (append node, merge segments, window shift)
+are cheap host-array updates + device slot writes; there is no per-event
+recompilation because every device program has static shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quaternion as quat
+from ..core.types import ImuBatch, NavState
+from ..factors import marginalization as marg
+from ..ins import preintegration as pre
+from ..solver import lm
+from ..solver.problem import (
+    MIX_DIM,
+    FactorTables,
+    GnssTable,
+    PreintTable,
+    WindowConfig,
+    WindowParams,
+)
+
+MINIMUM_TIME_INTERVAL = 1.0e-4
+
+
+def _tree_set(tree, idx, leaf_tree):
+    return jax.tree_util.tree_map(lambda a, v: a.at[idx].set(v), tree, leaf_tree)
+
+
+def _tree_roll(tree, shift):
+    return jax.tree_util.tree_map(lambda a: jnp.roll(a, -shift, axis=0), tree)
+
+
+class GnssEntry:
+    __slots__ = ("time", "blh", "std")
+
+    def __init__(self, time, blh, std):
+        self.time = float(time)
+        self.blh = np.asarray(blh, np.float64)
+        self.std = np.asarray(std, np.float64)
+
+
+class SlidingWindowEstimator:
+    """Fixed-slot sliding window over time nodes, GNSS and preintegrations.
+
+    Node slot k holds (time, pose, mix); interval slot k the IMU segment and
+    preintegration summary linking node k -> k+1.
+    """
+
+    def __init__(self, wcfg: WindowConfig, int_params, *, preint_samples=512,
+                 antlever=np.zeros(3), origin=None):
+        self.wcfg = wcfg
+        self.int_params = int_params
+        self.S = preint_samples
+        self.antlever = np.asarray(antlever, np.float64)
+        self.origin = origin  # blh of world origin (for earth-rate per interval)
+
+        # host mirrors
+        self.n_nodes = 0
+        self.times = np.zeros(wcfg.N)
+        self.poses = np.zeros((wcfg.N, 7))
+        self.poses[:, 6] = 1.0
+        self.mixes = np.zeros((wcfg.N, MIX_DIM))
+        self.gnss_entries = []  # list[GnssEntry]
+        self.segments_np = [None] * wcfg.P  # per-interval numpy ImuBatch dicts
+
+        # device state
+        self.preint_table = PreintTable.empty(wcfg)
+        self.seg_store = ImuBatch.zeros((wcfg.P, preint_samples))
+        self.marg_prior = None  # MargPrior or None
+        self.prior_cfg = None   # dict for init priors or None
+        self.ext = np.concatenate([np.zeros(3), np.array([0, 0, 0, 1.0])])
+        self.td = 0.0
+
+        # jitted kernels (bound to static config)
+        wc = wcfg
+        self._jit_preint = jax.jit(
+            lambda imu, st, iewn: pre.preintegrate(
+                self.int_params, imu, st, with_earth=wc.with_earth, iewn=iewn
+            )
+        )
+        self._jit_solve = jax.jit(
+            lambda p, t, iters: lm.solve(p, t, wc, iters)[:2], static_argnums=(2,)
+        )
+        self._jit_two_pass = jax.jit(lambda p, t, iters: lm.solve_two_pass(p, t, wc, iters),
+                                     static_argnums=(2,))
+        self._jit_marginalize = jax.jit(
+            lambda params, tables, num_marg, oldest: self._marg_impl(params, tables, num_marg, oldest)
+        )
+
+    # ------------------------------------------------------------------
+    # node management
+    # ------------------------------------------------------------------
+
+    def reset_first_node(self, time, state: NavState):
+        """Seed node 0 (gvinsInitialization, ic_gvins.cc:652-671)."""
+        self.n_nodes = 1
+        self.times[0] = time
+        self.poses[0] = np.concatenate([np.asarray(state.p), np.asarray(state.q)])
+        self.mixes[0] = np.concatenate(
+            [np.asarray(state.v), np.asarray(state.bg), np.asarray(state.ba)]
+        )
+
+    def node_state(self, k) -> NavState:
+        return NavState.from_pose_mix(
+            jnp.asarray(self.times[k]),
+            jnp.asarray(self.poses[k]),
+            jnp.asarray(np.concatenate([self.mixes[k], [0.0]])),
+        )
+
+    def latest_state(self) -> NavState:
+        return self.node_state(self.n_nodes - 1)
+
+    def set_prior(self, pose_prior, pose_std, mix_prior, mix_std):
+        """constructPrior (ic_gvins.cc:1911-1936)."""
+        self.prior_cfg = dict(
+            pose_prior=np.asarray(pose_prior),
+            pose_prior_std=np.asarray(pose_std),
+            mix_prior=np.asarray(mix_prior)[:MIX_DIM],
+            mix_prior_std=np.asarray(mix_std)[:MIX_DIM],
+        )
+
+    def _segment_iewn(self, state0_p):
+        if not self.wcfg.with_earth or self.origin is None:
+            return jnp.zeros(3)
+        from ..core import earth
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            iewn = earth.iewn(jnp.asarray(self.origin), jnp.asarray(state0_p))
+        return jnp.asarray(np.asarray(iewn))
+
+    def add_time_node(self, time, imu_series: dict):
+        """Append a node at ``time``; imu_series: numpy dict with keys
+        time/dt/dtheta/dvel/odovel covering (times[-1], time], sample 0 being
+        the anchor (addNewTimeNode, ic_gvins.cc:897-928). Returns the new
+        node's NavState (from the preintegration's absolute end state)."""
+        assert self.n_nodes >= 1 and self.n_nodes < self.wcfg.N, "window full"
+        k = self.n_nodes - 1  # interval slot
+
+        seg = self._pad_segment(imu_series)
+        self.segments_np[k] = seg
+        seg_dev = ImuBatch(**{f: jnp.asarray(seg[f]) for f in ImuBatch._fields})
+        self.seg_store = _tree_set(self.seg_store, k, seg_dev)
+
+        st0 = self.node_state(k)
+        iewn = self._segment_iewn(self.poses[k, :3])
+        summ = self._jit_preint(seg_dev, st0, iewn)
+
+        self.preint_table = PreintTable(
+            summ=_tree_set(self.preint_table.summ, k, summ),
+            idx0=self.preint_table.idx0.at[k].set(k),
+            valid=self.preint_table.valid.at[k].set(1.0),
+        )
+
+        self.n_nodes += 1
+        self.times[self.n_nodes - 1] = time
+        self.poses[self.n_nodes - 1] = np.concatenate(
+            [np.asarray(summ.end_p), np.asarray(summ.end_q)]
+        )
+        self.mixes[self.n_nodes - 1] = np.concatenate(
+            [np.asarray(summ.end_v), self.mixes[k, 3:6], self.mixes[k, 6:9]]
+        )
+        return self.latest_state()
+
+    def _pad_segment(self, series):
+        S = self.S
+        n = len(series["time"])
+        assert n <= S, f"segment too long: {n} > {S}"
+        out = {}
+        for f in ImuBatch._fields:
+            a = np.asarray(series[f], np.float64)
+            pad_shape = (S - n,) + a.shape[1:]
+            out[f] = np.concatenate([a, np.zeros(pad_shape)], axis=0)
+        # anchor sample never integrates
+        out["dt"][0] = 0.0
+        return out
+
+    def add_gnss(self, time, blh_local, std):
+        self.gnss_entries.append(GnssEntry(time, blh_local, std))
+
+    # ------------------------------------------------------------------
+    # table assembly
+    # ------------------------------------------------------------------
+
+    def _node_index_of_time(self, time):
+        diffs = np.abs(self.times[: self.n_nodes] - time)
+        k = int(np.argmin(diffs))
+        return k if diffs[k] < MINIMUM_TIME_INTERVAL else -1
+
+    def build_tables(self, *, ext_active=False, td_active=False,
+                     reproj_table=None, lm_valid=None) -> FactorTables:
+        wc = self.wcfg
+        tables = FactorTables.empty(wc)
+
+        # GNSS
+        g = GnssTable.empty(wc)
+        slot = 0
+        for entry in self.gnss_entries:
+            k = self._node_index_of_time(entry.time)
+            if k < 0 or slot >= wc.G:
+                continue
+            g = g._replace(
+                idx=g.idx.at[slot].set(k),
+                blh=g.blh.at[slot].set(jnp.asarray(entry.blh)),
+                std=g.std.at[slot].set(jnp.asarray(entry.std)),
+                valid=g.valid.at[slot].set(1.0),
+            )
+            slot += 1
+
+        # priors
+        pr = tables.prior._replace(imuerr_idx=jnp.asarray(self.n_nodes - 1, jnp.int32))
+        if self.prior_cfg is not None:
+            pc = self.prior_cfg
+            pr = pr._replace(
+                pose_prior=jnp.asarray(pc["pose_prior"]),
+                pose_prior_std=jnp.asarray(pc["pose_prior_std"]),
+                mix_prior=jnp.asarray(pc["mix_prior"]),
+                mix_prior_std=jnp.asarray(pc["mix_prior_std"]),
+                valid=jnp.ones(()),
+            )
+
+        tables = tables._replace(
+            gnss=g,
+            preint=self.preint_table,
+            prior=pr,
+            antlever=jnp.asarray(self.antlever),
+            node_valid=(jnp.arange(wc.N) < self.n_nodes).astype(jnp.float64),
+            ext_active=jnp.asarray(1.0 if ext_active else 0.0),
+            td_active=jnp.asarray(1.0 if td_active else 0.0),
+        )
+        if self.marg_prior is not None:
+            tables = tables._replace(marg=self.marg_prior)
+        if reproj_table is not None:
+            tables = tables._replace(reproj=reproj_table)
+        if lm_valid is not None:
+            tables = tables._replace(lm_valid=jnp.asarray(lm_valid))
+        return tables
+
+    def build_params(self, invdepths=None) -> WindowParams:
+        wc = self.wcfg
+        p = WindowParams.zeros(wc)
+        p = p._replace(
+            poses=jnp.asarray(self.poses),
+            mixes=jnp.asarray(self.mixes),
+            ext=jnp.asarray(self.ext),
+            td=jnp.asarray(self.td),
+        )
+        if invdepths is not None:
+            p = p._replace(invdepths=jnp.asarray(invdepths))
+        return p
+
+    # ------------------------------------------------------------------
+    # optimize / reintegrate / marginalize
+    # ------------------------------------------------------------------
+
+    def _store_params(self, params: WindowParams):
+        # np.array(): jax buffers alias as read-only views; host mirrors are
+        # mutated in place by the window bookkeeping
+        self.poses = np.array(params.poses)
+        self.mixes = np.array(params.mixes)
+        self.ext = np.array(params.ext)
+        self.td = float(params.td)
+
+    def optimize(self, num_iterations=50, *, two_pass=False, tables=None, params=None):
+        """One optimization episode; updates host state. Returns stats."""
+        if tables is None:
+            tables = self.build_tables()
+        if params is None:
+            params = self.build_params()
+
+        if two_pass:
+            params, tables2, stats = self._jit_two_pass(params, tables, num_iterations)
+            # persist GNSS std reweighting (the reference mutates gnsslist_)
+            self._absorb_gnss_stds(tables2.gnss)
+        else:
+            params, stats = self._jit_solve(params, tables, num_iterations)
+            tables2 = tables
+        self._store_params(params)
+        return params, tables2, stats
+
+    def _absorb_gnss_stds(self, gnss_table: GnssTable):
+        stds = np.asarray(gnss_table.std)
+        idxs = np.asarray(gnss_table.idx)
+        valid = np.asarray(gnss_table.valid)
+        slot = 0
+        for entry in self.gnss_entries:
+            k = self._node_index_of_time(entry.time)
+            if k < 0 or slot >= self.wcfg.G:
+                continue
+            if valid[slot] > 0 and idxs[slot] == k:
+                entry.std = stds[slot].copy()
+            slot += 1
+
+    def reintegrate_if_needed(self, sigma=6.0):
+        """doReintegration (ic_gvins.cc:1680-1695): re-run preintegration for
+        intervals whose linearization biases moved > sigma * bias std. One
+        batched device call for all intervals."""
+        P = self.wcfg.P
+        n_int = self.n_nodes - 1
+        if n_int <= 0:
+            return 0
+        bg_lin = np.asarray(self.preint_table.summ.bg0)
+        ba_lin = np.asarray(self.preint_table.summ.ba0)
+        dbg = np.linalg.norm(self.mixes[:P, 3:6] - bg_lin, axis=1)
+        dba = np.linalg.norm(self.mixes[:P, 6:9] - ba_lin, axis=1)
+        need = (
+            (dbg > sigma * float(self.int_params.gyr_bias_std))
+            | (dba > sigma * float(self.int_params.acc_bias_std))
+        ) & (np.arange(P) < n_int)
+        if not need.any():
+            return 0
+        for k in np.nonzero(need)[0]:
+            seg_dev = jax.tree_util.tree_map(lambda a: a[int(k)], self.seg_store)
+            st0 = self.node_state(int(k))
+            iewn = self._segment_iewn(self.poses[int(k), :3])
+            summ = self._jit_preint(seg_dev, st0, iewn)
+            self.preint_table = self.preint_table._replace(
+                summ=_tree_set(self.preint_table.summ, int(k), summ)
+            )
+        return int(need.sum())
+
+    def _marg_impl(self, params, tables, num_marg, oldest):
+        marg_tables, mask, lm_m = marg.select_marg_factors(tables, self.wcfg, num_marg, oldest)
+        prior = marg.marginalize(params, marg_tables, mask, self.wcfg)
+        prior = marg.shift_prior(prior, self.wcfg, num_marg)
+        return prior, lm_m
+
+    def marginalize(self, num_marg, oldest_kf_node=0, tables=None):
+        """Marginalize nodes [0, num_marg); shift window left. Returns the
+        landmark-marginalized mask for the caller's map bookkeeping."""
+        if num_marg <= 0:
+            return None
+        if tables is None:
+            tables = self.build_tables()
+        params = self.build_params()
+        prior, lm_m = self._jit_marginalize(params, tables, num_marg, oldest_kf_node)
+        self.marg_prior = prior
+        self.prior_cfg = None  # init priors absorbed (ic_gvins.cc:1537-1549)
+
+        last_time = self.times[num_marg]
+        # host shifts
+        n = self.n_nodes
+        self.times[: n - num_marg] = self.times[num_marg:n]
+        self.poses[: n - num_marg] = self.poses[num_marg:n]
+        self.mixes[: n - num_marg] = self.mixes[num_marg:n]
+        self.n_nodes = n - num_marg
+        self.segments_np = self.segments_np[num_marg:] + [None] * num_marg
+        self.gnss_entries = [e for e in self.gnss_entries if e.time > last_time - MINIMUM_TIME_INTERVAL]
+
+        # device shifts: preint table + segment store
+        self.preint_table = PreintTable(
+            summ=_tree_roll(self.preint_table.summ, num_marg),
+            idx0=self.preint_table.idx0,  # slot k always links k->k+1
+            valid=jnp.roll(self.preint_table.valid, -num_marg).at[
+                self.wcfg.P - num_marg :
+            ].set(0.0)
+            if num_marg > 0
+            else self.preint_table.valid,
+        )
+        self.seg_store = _tree_roll(self.seg_store, num_marg)
+        return lm_m
+
+    def merge_node(self, k):
+        """Remove interior node k by merging interval k-1 and k
+        (removeUnusedTimeNode, ic_gvins.cc:754-789)."""
+        assert 1 <= k < self.n_nodes - 1 or (k == self.n_nodes - 1 and k >= 1)
+        a, b = self.segments_np[k - 1], self.segments_np[k]
+        na = int(np.sum(a["dt"] > 0)) + 1
+        nb = int(np.sum(b["dt"] > 0)) + 1
+        merged = {
+            f: np.concatenate([a[f][:na], b[f][1:nb]], axis=0) for f in ImuBatch._fields
+        }
+        seg = self._pad_segment(merged)
+        self.segments_np[k - 1] = seg
+        seg_dev = ImuBatch(**{f: jnp.asarray(seg[f]) for f in ImuBatch._fields})
+        self.seg_store = _tree_set(self.seg_store, k - 1, seg_dev)
+
+        st0 = self.node_state(k - 1)
+        iewn = self._segment_iewn(self.poses[k - 1, :3])
+        summ = self._jit_preint(seg_dev, st0, iewn)
+
+        # shift host node arrays left over k
+        n = self.n_nodes
+        self.times[k : n - 1] = self.times[k + 1 : n]
+        self.poses[k : n - 1] = self.poses[k + 1 : n]
+        self.mixes[k : n - 1] = self.mixes[k + 1 : n]
+        self.n_nodes = n - 1
+        # shift interval storage left over interval k
+        self.segments_np = (
+            self.segments_np[: k - 1 + 1][: k] + self.segments_np[k + 1 :] + [None]
+        )
+        # rebuild device interval tables from k-1 on: roll intervals > k left
+        P = self.wcfg.P
+
+        def roll_tail(arr):
+            head = arr[: k]
+            tail = jnp.concatenate([arr[k + 1 :], jnp.zeros_like(arr[:1])], axis=0)
+            return jnp.concatenate([head, tail], axis=0)
+
+        self.preint_table = PreintTable(
+            summ=_tree_set(
+                jax.tree_util.tree_map(roll_tail, self.preint_table.summ), k - 1, summ
+            ),
+            idx0=self.preint_table.idx0,
+            valid=roll_tail(self.preint_table.valid).at[k - 1].set(1.0),
+        )
+        self.seg_store = jax.tree_util.tree_map(roll_tail, self.seg_store)
