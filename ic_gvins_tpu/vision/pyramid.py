@@ -1,0 +1,121 @@
+"""Image preprocessing kernels: CLAHE, Gaussian pyramid, bilinear sampling.
+
+Replaces cv::createCLAHE(3.0, 21x21) (tracking.cc:63, 139) and the implicit
+pyramid construction inside cv::calcOpticalFlowPyrLK / cv::pyrDown. All ops
+are f32 batched jnp running on the VPU; sampling is gather-based and vmaps
+over feature sets.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# cv::pyrDown 5-tap kernel
+_PYR_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+
+def pyr_down(img):
+    """One pyramid level down: 5x5 Gaussian (separable) + 2x decimation."""
+    img = img.astype(jnp.float32)
+    pad = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    tmp = sum(_PYR_K[k] * pad[k : k + img.shape[0], :] for k in range(5))
+    pad = jnp.pad(tmp, ((0, 0), (2, 2)), mode="edge")
+    out = sum(_PYR_K[k] * pad[:, k : k + img.shape[1]] for k in range(5))
+    return out[::2, ::2]
+
+
+def build_pyramid(img, levels=4):
+    """[level0 (full res), level1, ...] — levels fixed at trace time."""
+    pyr = [img.astype(jnp.float32)]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def bilinear_sample(img, xy):
+    """Sample img (H,W) at float coords xy (...,2) [x, y], edge-clamped."""
+    H, W = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.000001)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (x - x0).astype(img.dtype)
+    fy = (y - y0).astype(img.dtype)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def extract_patch(img, center_xy, half):
+    """(2*half+1)^2 bilinear patch around center (x, y). vmap over centers."""
+    size = 2 * half + 1
+    dy = jnp.arange(size, dtype=img.dtype) - half
+    dx = jnp.arange(size, dtype=img.dtype) - half
+    gx = center_xy[0] + dx[None, :]
+    gy = center_xy[1] + dy[:, None]
+    xy = jnp.stack([jnp.broadcast_to(gx, (size, size)), jnp.broadcast_to(gy, (size, size))], axis=-1)
+    return bilinear_sample(img, xy)
+
+
+def clahe(img, clip_limit=3.0, tile=21, nbins=256):
+    """Contrast-limited adaptive histogram equalization.
+
+    Equivalent behavior to cv::CLAHE(clipLimit=3.0, tileGrid=(21,21)) —
+    per-tile clipped histogram equalization with bilinear interpolation of
+    the per-tile transfer functions. Input uint8-valued (0..255) image (any
+    float/int dtype); output f32 in [0, 255].
+
+    TPU-native formulation: all tiles' histograms/CDFs are computed in one
+    batched one-hot contraction (MXU matmul), and the transfer lookup is a
+    gather + 4-tile bilinear blend.
+    """
+    img = jnp.clip(img.astype(jnp.float32), 0.0, 255.0)
+    H, W = img.shape
+    ty, tx = tile, tile
+    th, tw = -(-H // ty), -(-W // tx)  # tile size (ceil)
+    Hp, Wp = th * ty, tw * tx
+    padded = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
+
+    tiles = padded.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(ty * tx, th * tw)
+    idx = jnp.clip(tiles.astype(jnp.int32), 0, nbins - 1)
+    hist = jax.vmap(lambda t: jnp.zeros(nbins, jnp.float32).at[t].add(1.0))(idx)
+
+    # clip + redistribute (cv semantics: clipLimit scaled by tile area / bins)
+    limit = jnp.maximum(clip_limit * (th * tw) / nbins, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    cdf = jnp.cumsum(hist, axis=1)
+    # normalize to [0, 255]
+    lut = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1.0) * 255.0
+    lut = lut.reshape(ty, tx, nbins)
+
+    # bilinear interpolation between tile LUTs
+    yy = jnp.arange(H, dtype=jnp.float32)
+    xx = jnp.arange(W, dtype=jnp.float32)
+    tyf = jnp.clip((yy - th / 2.0 + 0.5) / th, 0.0, ty - 1.000001)
+    txf = jnp.clip((xx - tw / 2.0 + 0.5) / tw, 0.0, tx - 1.000001)
+    y0 = jnp.floor(tyf).astype(jnp.int32)
+    x0 = jnp.floor(txf).astype(jnp.int32)
+    fy = (tyf - y0)[:, None]
+    fx = (txf - x0)[None, :]
+    y1 = jnp.minimum(y0 + 1, ty - 1)
+    x1 = jnp.minimum(x0 + 1, tx - 1)
+
+    v = jnp.clip(img.astype(jnp.int32), 0, nbins - 1)
+    g = lambda yi, xi: lut[yi[:, None], xi[None, :], v]
+    out = (
+        g(y0, x0) * (1 - fy) * (1 - fx)
+        + g(y0, x1) * (1 - fy) * fx
+        + g(y1, x0) * fy * (1 - fx)
+        + g(y1, x1) * fy * fx
+    )
+    return out
