@@ -1,0 +1,554 @@
+"""INS-aided visual tracking frontend.
+
+Behavioral parity with Tracking (tracking/tracking.{h,cc}): CLAHE
+preprocess + optional histogram gate, landmark tracking with pose-prior
+prediction, rotation-compensated reference-frame tracking, forward/backward
+LK consistency, fundamental-RANSAC culling, parallax-driven keyframe policy
+(min parallax 20 px weighted across landmark/reference tracks; observation
+frames on >0.475 s gaps), two-view DLT triangulation with depth/reprojection
+gating, blockwise masked Shi-Tomasi replenishment.
+
+Architecture: the per-frame image math (CLAHE, pyramid, two bidirectional LK
+batches, RANSAC, triangulation, detection) runs as a handful of fixed-shape
+batched device kernels over padded feature tables; the feature/landmark
+graph bookkeeping stays on host (vision/map.py).
+
+Constants (tracking.h:112-115): 200 px detection blocks, 3+1 pyramid levels,
+10 px triangulation parallax, 0.08 s min observation interval.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera as cam
+from . import features as feat
+from . import lk, pyramid, ransac
+from .map import (
+    KEYFRAME_NONE,
+    KEYFRAME_NORMAL,
+    KEYFRAME_REMOVE_OLDEST,
+    KEYFRAME_REMOVE_SECOND_NEW,
+    MAPPOINT_TRIANGULATED,
+    FARTHEST_DEPTH,
+    NEAREST_DEPTH,
+    Landmark,
+    Observation,
+    VFrame,
+    VisualMap,
+)
+
+TRACK_BLOCK_SIZE = 200.0
+TRACK_MIN_PARALLAX = 10.0
+TRACK_MIN_INTERVAL = 0.08
+
+# track() return states (tracking.h:38-44)
+TRACK_FIRST_FRAME = 0
+TRACK_INITIALIZING = 1
+TRACK_TRACKING = 2
+TRACK_PASSED = 3
+TRACK_LOST = 4
+
+
+class Tracker:
+    def __init__(self, camera: cam.PinholeCamera, vmap: VisualMap, cfg, F_MAX=512):
+        """cfg: GvinsConfig (track_* + reprojection_error_std fields)."""
+        self.cam = camera
+        self.map = vmap
+        self.F_MAX = F_MAX
+
+        self.check_histogram = cfg.track_check_histogram
+        self.min_parallax = cfg.track_min_parallax
+        self.max_features = cfg.track_max_features
+        self.max_interval = cfg.track_max_interval * 0.95
+        self.reproj_std = cfg.reprojection_error_std
+
+        self.block_cols = max(int(round(camera.width / TRACK_BLOCK_SIZE)), 1)
+        self.block_rows = max(int(round(camera.height / TRACK_BLOCK_SIZE)), 1)
+        blocks = self.block_cols * self.block_rows
+        self.per_block = max(int(round(self.max_features / blocks)), 1)
+        self.min_pixel_distance = int(round(TRACK_BLOCK_SIZE / math.sqrt(self.per_block * 1.5)))
+
+        self.frame_cur = None
+        self.frame_pre = None
+        self.frame_ref = None
+        self.last_keyframe = None
+        self.pyr_cur = None
+        self.pyr_pre = None
+
+        self.initializing = True
+        self.is_new_keyframe = False
+        self.histogram = 0.0
+        self.passed_cnt = 0
+
+        # reference-track feature lists (host)
+        self.pts_ref = []      # distorted px in the feature's reference frame
+        self.pts_new = []      # distorted px at the latest tracked frame
+        self.ref_frames = []   # VFrame the feature was created in
+        self.vel_ref = []      # normalized-plane velocity at reference
+
+        self.parallax_map = 0.0
+        self.parallax_map_counts = 0
+        self.parallax_ref = 0.0
+        self.parallax_ref_counts = 0
+        self.tracked_mappoints = []
+        self.logging_row = None
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _undis(self, pts):
+        if len(pts) == 0:
+            return np.zeros((0, 2))
+        return np.asarray(cam.undistort_points(self.cam, jnp.asarray(pts, jnp.float64)))
+
+    def _dis(self, pts):
+        if len(pts) == 0:
+            return np.zeros((0, 2))
+        return np.asarray(cam.distort_points(self.cam, jnp.asarray(pts, jnp.float64)))
+
+    def _pixel2cam(self, pts):
+        return np.asarray(cam.pixel2cam(self.cam, jnp.asarray(pts, jnp.float64)))
+
+    def _pad(self, pts, n=None):
+        n = n or self.F_MAX
+        out = np.zeros((n, 2))
+        v = np.zeros(n)
+        k = min(len(pts), n)
+        if k:
+            out[:k] = pts[:k]
+            v[:k] = 1.0
+        return out, v
+
+    def _keypoint_parallax(self, und0, und1, R0, R1):
+        """Rotation-compensated pixel parallax (tracking.cc:861-871).
+        und0/und1: (...,2) undistorted pixels."""
+        pc0 = self._pixel2cam(np.atleast_2d(und0))
+        pc1 = self._pixel2cam(np.atleast_2d(und1))
+        pc01 = pc0 @ (R1.T @ R0).T
+        d = pc01[:, :2] / pc01[:, 2:3] - pc1[:, :2]
+        return np.linalg.norm(d, axis=1) * float(self.cam.focal_length)
+
+    def _track_pairs(self, pts_prev, pts_pred):
+        """Bidirectional LK on padded tables; returns (next_pts, ok) trimmed."""
+        n = len(pts_prev)
+        pp, v = self._pad(np.asarray(pts_prev))
+        pd, _ = self._pad(np.asarray(pts_pred))
+        nxt, ok = lk.track_bidirectional(
+            self.pyr_pre, self.pyr_cur, jnp.asarray(pp, jnp.float32),
+            jnp.asarray(pd, jnp.float32), jnp.asarray(v, bool),
+        )
+        return np.asarray(nxt, np.float64)[:n], np.asarray(ok)[:n]
+
+    # ------------------------------------------------------------------
+    # main entry
+    # ------------------------------------------------------------------
+
+    def track(self, frame: VFrame, image):
+        """image: (H,W) grayscale array (0..255)."""
+        self.is_new_keyframe = False
+        self.logging_row = None
+
+        if self.check_histogram:
+            # the reference's histogram centroid sum(h_k * k/256)/N equals
+            # mean(image)/256 exactly (tracking.cc:88-105)
+            hist = float(np.mean(np.asarray(image))) / 256.0
+            if self.histogram != 0.0:
+                rate = abs((hist - self.histogram) / self.histogram)
+                if rate > 0.1:
+                    self.passed_cnt += 1
+                    if self.passed_cnt > 1:
+                        self.histogram = 0.0
+                    return TRACK_PASSED
+            self.histogram = hist
+
+        self.frame_pre = self.frame_cur
+        self.frame_cur = frame
+        self.pyr_pre = self.pyr_cur
+        eq = pyramid.clahe(jnp.asarray(image, jnp.float32))
+        self.pyr_cur = pyramid.build_pyramid(eq, lk.PYRAMID_LEVELS)
+        frame.pyr = self.pyr_cur  # frames own their pyramid for re-detection
+
+        if self.initializing:
+            return self._track_initializing()
+        return self._track_normal()
+
+    def _track_initializing(self):
+        if self.frame_ref is None:
+            self._reset_tracking_state()
+            self.frame_ref = self.frame_cur
+            self.features_detection(self.frame_ref, ismask=False)
+            return TRACK_FIRST_FRAME
+
+        if not self.pts_ref:
+            self.features_detection(self.frame_ref, ismask=False)
+
+        self.track_reference_frame()
+
+        if self.parallax_ref < self.min_parallax:
+            return TRACK_INITIALIZING
+
+        self.triangulation()
+
+        if self._do_reset_tracking():
+            self._make_new_frame(KEYFRAME_NORMAL)
+            return TRACK_FIRST_FRAME
+
+        self.frame_ref.set_keyframe(KEYFRAME_NORMAL)
+        self._make_new_frame(KEYFRAME_NORMAL)
+        self.last_keyframe = self.frame_cur
+        self.initializing = False
+        return TRACK_TRACKING
+
+    def _track_normal(self):
+        self.track_mappoints()
+        self.track_reference_frame()
+
+        kf_state = self.check_keyframe_state()
+
+        if kf_state in (KEYFRAME_NORMAL, KEYFRAME_REMOVE_OLDEST):
+            self.triangulation()
+        else:
+            self.features_detection(self.frame_cur, ismask=True)
+
+        if self._do_reset_tracking():
+            self._make_new_frame(KEYFRAME_NORMAL)
+            return TRACK_LOST
+
+        if kf_state != KEYFRAME_NONE:
+            self._make_new_frame(kf_state)
+
+        return TRACK_TRACKING
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+
+    def track_mappoints(self):
+        """tracking.cc:351-455."""
+        self.tracked_mappoints = []
+        self.parallax_map = 0.0
+        self.parallax_map_counts = 0
+
+        prev_feats = [
+            (lm_id, obs)
+            for lm_id, obs in self.frame_pre.features.items()
+            if lm_id in self.map.landmarks and not self.map.landmarks[lm_id].outlier
+        ]
+        if not prev_feats:
+            return False
+
+        lms = [self.map.landmarks[lm_id] for lm_id, _ in prev_feats]
+        pts_prev_dis = np.stack([obs.dis for _, obs in prev_feats])
+        pts_prev_und = np.stack([obs.undis for _, obs in prev_feats])
+
+        # predict from landmark positions through the frame's INS prior pose
+        pos_w = np.stack([lm.pos for lm in lms])
+        pc = (pos_w - self.frame_cur.t) @ self.frame_cur.R
+        pred_und = np.asarray(cam.cam2pixel(self.cam, jnp.asarray(pc)))
+        pred_dis = self._dis(pred_und)
+
+        nxt, ok = self._track_pairs(pts_prev_dis, pred_dis)
+        if not ok.any():
+            return False
+
+        matched_dis = nxt[ok]
+        matched_und = self._undis(matched_dis)
+        kept_lms = [lm for lm, o in zip(lms, ok) if o]
+        kept_prev_und = pts_prev_und[ok]
+
+        dt = self.frame_cur.stamp - self.frame_pre.stamp
+        pc_cur = self._pixel2cam(matched_und)
+        pc_prev = self._pixel2cam(kept_prev_und)
+        vel = (pc_cur[:, :2] - pc_prev[:, :2]) / dt
+
+        self.frame_cur.features = {}
+        for lm, und, dis, v in zip(kept_lms, matched_und, matched_dis, vel):
+            obs = Observation(self.frame_cur, lm.id, und, dis, v, 0)
+            lm.add_observation(obs)
+            self.frame_cur.features[lm.id] = obs
+            self.tracked_mappoints.append(lm)
+
+        self.parallax_map_counts = self._parallax_from_ref_mappoints()
+        return True
+
+    def _parallax_from_ref_mappoints(self):
+        """tracking.cc:873-905: average parallax between each landmark's
+        observation in frame_ref and its newest observation in frame_cur."""
+        und0, und1 = [], []
+        for lm_id, obs_ref in self.frame_ref.features.items():
+            lm = self.map.landmarks.get(lm_id)
+            if lm is None or lm.outlier or not lm.observations:
+                continue
+            newest = lm.observations[-1]
+            if newest.frame is self.frame_cur and not newest.outlier:
+                und0.append(obs_ref.undis)
+                und1.append(newest.undis)
+        if not und0:
+            self.parallax_map = 0.0
+            return 0
+        par = self._keypoint_parallax(
+            np.stack(und0), np.stack(und1), self.frame_ref.R, self.frame_cur.R
+        )
+        self.parallax_map = float(par.mean())
+        return len(und0)
+
+    def track_reference_frame(self):
+        """tracking.cc:457-574."""
+        self.parallax_ref = 0.0
+        self.parallax_ref_counts = 0
+        if not self.pts_new:
+            return False
+
+        pts_new = np.asarray(self.pts_new)
+        # rotation-compensated prediction
+        r_cur_pre = self.frame_cur.R.T @ self.frame_pre.R
+        und = self._undis(pts_new)
+        pc_pre = self._pixel2cam(und)
+        pc_cur = pc_pre @ r_cur_pre.T
+        xy = np.asarray(cam.distort_normalized(self.cam, jnp.asarray(pc_cur[:, :2] / pc_cur[:, 2:3])))
+        pred = np.asarray(
+            cam.cam2pixel(self.cam, jnp.asarray(np.concatenate([xy, np.ones((len(xy), 1))], axis=1)))
+        )
+
+        nxt, ok = self._track_pairs(pts_new, pred)
+        self._reduce(ok)
+        if not self.pts_new:
+            return False
+        pts_cur = nxt[ok]
+
+        und_new = self._undis(np.asarray(self.pts_new))
+        und_cur = self._undis(pts_cur)
+
+        dt = self.frame_cur.stamp - self.frame_pre.stamp
+        pc_new = self._pixel2cam(und_new)
+        pc_c = self._pixel2cam(und_cur)
+        vel_cur = (pc_c[:, :2] - pc_new[:, :2]) / dt
+        for k in range(len(self.pts_new)):
+            if self.ref_frames[k].id > self.frame_ref.id:
+                self.vel_ref[k] = vel_cur[k].copy()
+
+        # parallax over features referenced to the tracking reference keyframe
+        sel = [k for k in range(len(self.pts_new)) if self.ref_frames[k] is self.frame_ref]
+        if sel:
+            und_ref = self._undis(np.asarray([self.pts_ref[k] for k in sel]))
+            par = self._keypoint_parallax(
+                und_ref, und_cur[sel], self.frame_ref.R, self.frame_cur.R
+            )
+            self.parallax_ref = float(par.mean())
+            self.parallax_ref_counts = len(sel)
+
+        # fundamental RANSAC (tracking.cc:547-555)
+        if len(pts_cur) >= 15:
+            N = self.F_MAX
+            p0, v0 = self._pad(und_new)
+            p1, _ = self._pad(und_cur)
+            inl, _ = ransac.fundamental_ransac(
+                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(v0), self.reproj_std
+            )
+            keep = np.asarray(inl)[: len(pts_cur)]
+            pts_cur = pts_cur[keep]
+            vel_cur = vel_cur[keep]
+            self._reduce(keep)
+
+        if len(pts_cur) == 0:
+            return False
+
+        self.vel_cur = vel_cur
+        self.pts_cur = [p for p in pts_cur]
+        self.pts_new = [p.copy() for p in pts_cur]
+        return True
+
+    def check_keyframe_state(self):
+        """tracking.cc:263-307."""
+        state = KEYFRAME_NONE
+        dt = self.frame_cur.stamp - self.last_keyframe.stamp
+        if dt < TRACK_MIN_INTERVAL:
+            return state
+
+        cnt = self.parallax_map_counts + self.parallax_ref_counts
+        parallax = (
+            (self.parallax_map * self.parallax_map_counts + self.parallax_ref * self.parallax_ref_counts) / cnt
+            if cnt
+            else 0.0
+        )
+        if parallax > self.min_parallax:
+            state = KEYFRAME_REMOVE_OLDEST if self.map.is_window_full else KEYFRAME_NORMAL
+        elif dt > self.max_interval:
+            state = KEYFRAME_REMOVE_SECOND_NEW
+
+        if state != KEYFRAME_NONE:
+            self.last_keyframe = self.frame_cur
+            for lm in self.tracked_mappoints:
+                lm.used_times += 1
+            rel_t = float(np.linalg.norm(self.frame_cur.t - self.frame_ref.t))
+            R = self.frame_cur.R.T @ self.frame_ref.R
+            from ..core import quaternion as quat
+
+            euler = np.asarray(quat.matrix_to_euler(jnp.asarray(R)))
+            rel_r = abs(float(euler[1])) * 180.0 / math.pi
+            self.logging_row = [self.frame_cur.stamp, dt, parallax, rel_t, rel_r]
+        return state
+
+    def triangulation(self):
+        """tracking.cc:690-798."""
+        if not getattr(self, "pts_cur", None):
+            return False
+
+        n = len(self.pts_cur)
+        und_ref = self._undis(np.asarray(self.pts_ref))
+        und_cur = self._undis(np.asarray(self.pts_cur))
+
+        keep = np.zeros(n, bool)
+        tri_idx = []
+        for k in range(n):
+            fref = self.ref_frames[k]
+            if fref.id > self.frame_ref.id:
+                # feature added mid-stream: re-reference to the current frame
+                self.ref_frames[k] = self.frame_cur
+                self.pts_ref[k] = self.pts_cur[k].copy()
+                keep[k] = True
+                continue
+            if self.map.is_window_normal() and fref.kf_id is not None and not self.map.is_keyframe_in_map(fref):
+                keep[k] = False
+                continue
+            par = self._keypoint_parallax(und_ref[k], und_cur[k], fref.R, self.frame_cur.R)[0]
+            if par < TRACK_MIN_PARALLAX:
+                keep[k] = True
+                continue
+            tri_idx.append(k)
+
+        created = 0
+        if tri_idx:
+            idx = np.asarray(tri_idx)
+            R0 = np.stack([self.ref_frames[k].R for k in tri_idx])
+            t0 = np.stack([self.ref_frames[k].t for k in tri_idx])
+            pc0 = self._pixel2cam(und_ref[idx])
+            pc1 = self._pixel2cam(und_cur[idx])
+            pw = np.asarray(
+                ransac.triangulate_batch(
+                    jnp.asarray(R0), jnp.asarray(t0),
+                    jnp.asarray(self.frame_cur.R), jnp.asarray(self.frame_cur.t),
+                    jnp.asarray(pc0), jnp.asarray(pc1),
+                )
+            )
+            for j, k in enumerate(tri_idx):
+                fref = self.ref_frames[k]
+                if not (
+                    self._good_to_track(und_ref[k], fref.R, fref.t, pw[j], 1.0, 3.0)
+                    and self._good_to_track(und_cur[k], self.frame_cur.R, self.frame_cur.t, pw[j], 1.0, 3.0)
+                ):
+                    keep[k] = False
+                    continue
+                keep[k] = False
+                created += 1
+                pc = fref.R.T @ (pw[j] - fref.t)
+                lm = Landmark(fref, pw[j], und_ref[k], pc[2], MAPPOINT_TRIANGULATED)
+
+                obs_cur = Observation(self.frame_cur, lm.id, und_cur[k], self.pts_cur[k], self.vel_cur[k], 1)
+                lm.add_observation(obs_cur)
+                self.frame_cur.features[lm.id] = obs_cur
+                lm.used_times += 1
+
+                obs_ref = Observation(fref, lm.id, und_ref[k], self.pts_ref[k], self.vel_ref[k], 1)
+                lm.add_observation(obs_ref)
+                fref.features[lm.id] = obs_ref
+                lm.used_times += 1
+
+                self.frame_cur.unupdated_mappoints.append(lm)
+
+        self._reduce(keep)
+        self.pts_cur = [self.pts_cur[k] for k in range(n) if keep[k]] if hasattr(self, "pts_cur") else []
+        self.pts_new = [p.copy() for p in self.pts_cur]
+        return True
+
+    def _good_to_track(self, und_px, R, t, pw, scale, depth_scale):
+        """tracking.cc:813-829."""
+        pc = R.T @ (pw - t)
+        if not (NEAREST_DEPTH < pc[2] < FARTHEST_DEPTH * depth_scale):
+            return False
+        proj = np.asarray(cam.world2pixel(self.cam, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pw)))
+        return np.linalg.norm(proj - und_px) <= self.reproj_std * scale
+
+    def features_detection(self, frame, ismask=True):
+        """tracking.cc:576-688."""
+        num_features = len(frame.features) + len(self.pts_ref)
+        if num_features > self.max_features - 5:
+            return
+
+        # per-block existing-feature counts
+        bw = self.cam.width // self.block_cols
+        bh = self.cam.height // self.block_rows
+        counts = np.zeros(self.block_rows * self.block_cols, np.int32)
+        existing = [obs.undis for obs in frame.features.values()] + list(self.pts_new)
+        for p in existing:
+            col = min(int(p[0] / bw), self.block_cols - 1)
+            row = min(int(p[1] / bh), self.block_rows - 1)
+            counts[row * self.block_cols + col] += 1
+
+        if ismask and existing:
+            mask = feat.occupancy_mask(
+                jnp.asarray(np.stack(existing)),
+                jnp.ones(len(existing)),
+                self.pyr_cur[0].shape,
+                self.min_pixel_distance,
+            )
+        else:
+            mask = jnp.ones_like(self.pyr_cur[0])
+
+        if not ismask:
+            # fresh start on this frame (tracking.cc:662-667)
+            self.pts_ref, self.pts_new, self.ref_frames, self.vel_ref = [], [], [], []
+
+        img = getattr(frame, "pyr", self.pyr_cur)[0]
+        corners, resp, valid = feat.detect_blockwise(
+            img, mask, jnp.asarray(counts),
+            block_rows=self.block_rows, block_cols=self.block_cols,
+            per_block=self.per_block, min_distance=self.min_pixel_distance,
+        )
+        corners = feat.corner_subpix(img, corners, valid)
+        cn = np.asarray(corners)[np.asarray(valid)]
+
+        budget = self.max_features - num_features
+        cn = cn[:budget]
+        for p in cn:
+            self.pts_ref.append(p.copy())
+            self.pts_new.append(p.copy())
+            self.ref_frames.append(frame)
+            self.vel_ref.append(np.zeros(2))
+
+    # ------------------------------------------------------------------
+    # bookkeeping
+    # ------------------------------------------------------------------
+
+    def _reduce(self, keep):
+        keep = np.asarray(keep, bool)
+        self.pts_ref = [p for p, k in zip(self.pts_ref, keep) if k]
+        self.pts_new = [p for p, k in zip(self.pts_new, keep) if k]
+        self.ref_frames = [f for f, k in zip(self.ref_frames, keep) if k]
+        self.vel_ref = [v for v, k in zip(self.vel_ref, keep) if k]
+
+    def _make_new_frame(self, state):
+        self.frame_cur.set_keyframe(state)
+        self.is_new_keyframe = True
+        if state in (KEYFRAME_NORMAL, KEYFRAME_REMOVE_OLDEST):
+            self.frame_ref = self.frame_cur
+            self.features_detection(self.frame_ref, ismask=True)
+
+    def _do_reset_tracking(self):
+        if not self.frame_cur.features:
+            self.initializing = True
+            self.frame_ref = self.frame_cur
+            self._reset_tracking_state()
+            return True
+        return False
+
+    def _reset_tracking_state(self):
+        self.pts_ref = []
+        self.pts_new = []
+        self.ref_frames = []
+        self.vel_ref = []
+        self.pts_cur = []
+        self.vel_cur = np.zeros((0, 2))
