@@ -334,14 +334,15 @@ class SlidingWindowEstimator:
         prior = marg.shift_prior(prior, self.wcfg, num_marg)
         return prior, lm_m
 
-    def marginalize(self, num_marg, oldest_kf_node=0, tables=None):
+    def marginalize(self, num_marg, oldest_kf_node=0, tables=None, params=None):
         """Marginalize nodes [0, num_marg); shift window left. Returns the
         landmark-marginalized mask for the caller's map bookkeeping."""
         if num_marg <= 0:
             return None
         if tables is None:
             tables = self.build_tables()
-        params = self.build_params()
+        if params is None:
+            params = self.build_params()
         prior, lm_m = self._jit_marginalize(params, tables, num_marg, oldest_kf_node)
         self.marg_prior = prior
         self.prior_cfg = None  # init priors absorbed (ic_gvins.cc:1537-1549)
@@ -368,6 +369,21 @@ class SlidingWindowEstimator:
         )
         self.seg_store = _tree_roll(self.seg_store, num_marg)
         return lm_m
+
+    def truncate_to(self, k):
+        """Drop nodes [k, n_nodes) and their intervals (the node-removal leg
+        of insertNewGnssTimeNode, ic_gvins.cc:864-876). Returns the dropped
+        node times so the caller can re-add them."""
+        assert 1 <= k <= self.n_nodes
+        dropped = list(self.times[k : self.n_nodes])
+        P = self.wcfg.P
+        inv_valid = np.array(self.preint_table.valid)  # copy: jax buffers are read-only
+        inv_valid[max(k - 1, 0) :] = 0.0
+        self.preint_table = self.preint_table._replace(valid=jnp.asarray(inv_valid))
+        for j in range(max(k - 1, 0), P):
+            self.segments_np[j] = None
+        self.n_nodes = k
+        return dropped
 
     def merge_node(self, k):
         """Remove interior node k by merging interval k-1 and k

@@ -177,9 +177,35 @@ class InsPropagator:
                 sample_cb(s.time[j0:j1], np.asarray(p)[:n], np.asarray(q)[:n], np.asarray(v)[:n])
             self.cursor = j1
 
-    def pose_at(self, t):
-        """Interpolated pose at time t from the mechanized state and the
-        stream (for camera pose priors, MISC::getCameraPoseFromInsWindow)."""
-        # re-mechanize precisely: take state at the last sample <= t, then
-        # integrate the split fraction
-        raise NotImplementedError  # provided by the VIO engine layer
+    def pose_interpolated(self, t):
+        """Interpolated (p, q) at time t (MISC::getCameraPoseFromInsWindow /
+        statePoseInterpolation, misc.cc:67-100): propagate through samples
+        <= t, take one peek step to the next sample, interpolate. Does not
+        advance the cursor past t."""
+        import numpy as np
+
+        self.propagate_to(t)
+        st0 = self.state
+        s = self.stream
+        if self.cursor >= s.T or abs(float(st0.time) - t) < MINIMUM_TIME_INTERVAL:
+            return np.array(st0.p), np.array(st0.q)
+        j = self.cursor
+        imu = ImuBatch(
+            time=jnp.asarray(s.time[j : j + 1]),
+            dt=jnp.asarray(s.dt[j : j + 1]),
+            dtheta=jnp.asarray(s.dtheta[j : j + 1]),
+            dvel=jnp.asarray(s.dvel[j : j + 1]),
+            odovel=jnp.asarray(s.odovel[j : j + 1]),
+        )
+        bg, ba = st0.bg, st0.ba
+        prev = (
+            jnp.asarray(s.dt[j - 1]) if j > 0 else jnp.zeros(()),
+            (jnp.asarray(s.dtheta[j - 1]) - s.dt[j - 1] * bg) if j > 0 else jnp.zeros(3),
+            (jnp.asarray(s.dvel[j - 1]) - s.dt[j - 1] * ba) if j > 0 else jnp.zeros(3),
+        )
+        st1, _ = self._jit_scan(self.gravity, self.iewn, st0, imu, prev)
+
+        from ..ins.mechanization import interpolate_pose
+
+        p, q = interpolate_pose(st0.p, st0.q, float(st0.time), st1.p, st1.q, float(st1.time), t)
+        return np.array(p), np.array(q)

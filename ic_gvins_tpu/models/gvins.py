@@ -1,0 +1,644 @@
+"""GVINS model: the full tightly-coupled GNSS-Visual-Inertial pipeline.
+
+Deterministic replay of the complete reference estimator (the flagship
+model): the GINS initialization chain, then the visual pipeline —
+INITIALIZING_VIO -> TRACKING_INITIALIZING -> TRACKING_NORMAL
+(ic_gvins.h:47-55) — with INS-aided tracking, keyframe time nodes, GNSS
+node insertion/alignment, two-pass sliding-window optimization over
+GNSS/preintegration/reprojection factors with chi2 surgery, extrinsic/td
+estimation with sanity gates, landmark depth updates, visual outlier
+culling, second-new-frame removal with preintegration merging, and
+Schur-complement marginalization.
+
+Replaces the reference's four threads with deterministic replay phases
+(SURVEY.md §2.9): per event (GNSS fix / camera frame), IMU mechanization,
+the frontend, and the optimizer run as sequential stages, each internally a
+batched fixed-shape device program.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import quaternion as quat
+from ..engine.config import GvinsConfig, NORMAL_GRAVITY
+from ..solver.problem import ReprojTable, WindowConfig
+from ..vision import camera as vcam
+from ..vision.map import (
+    KEYFRAME_NORMAL,
+    KEYFRAME_REMOVE_OLDEST,
+    KEYFRAME_REMOVE_SECOND_NEW,
+    VFrame,
+    VisualMap,
+)
+from ..vision.tracking import TRACK_FIRST_FRAME, TRACK_LOST, Tracker
+from .gins import GinsModel, _cpu
+
+R2D = 180.0 / math.pi
+MINMUM_SYNC_INTERVAL = 0.025          # ic_gvins.h:132
+MAXIMUM_PREINTEGRATION_LENGTH = 10.0  # ic_gvins.h:136
+MINIMUM_TIME_INTERVAL = 1.0e-4
+
+
+class GvinsModel(GinsModel):
+    """Full GNSS-Visual-Inertial estimator (extends the GINS backbone)."""
+
+    def __init__(self, cfg: GvinsConfig, outdir=None):
+        n_window = cfg.node_slots
+        super().__init__(cfg, outdir=outdir, window_nodes=None)
+        # override window sizing for the visual pipeline
+        self.wcfg = WindowConfig(
+            N=n_window,
+            L=cfg.landmark_slots,
+            G=cfg.gnss_slots,
+            R=cfg.reproj_slots,
+            with_earth=cfg.iswithearth,
+        )
+
+        assert cfg.cam0 is not None, "GVINS needs cam0 configuration"
+        self.camera = vcam.PinholeCamera.from_config(
+            cfg.cam0.intrinsic, cfg.cam0.distortion, cfg.cam0.resolution
+        )
+        self.vmap = VisualMap(cfg.optimize_windows_size)
+        self.tracker = Tracker(self.camera, self.vmap, cfg)
+
+        q = np.asarray(cfg.cam0.q_b_c, np.float64)
+        self.pose_b_c_R = np.asarray(quat.to_matrix(jnp.asarray(q / np.linalg.norm(q))))
+        self.pose_b_c_t = np.asarray(cfg.cam0.t_b_c, np.float64)
+        self.td_b_c = float(cfg.cam0.td_b_c)
+        self.reproj_sqrt_info = float(self.camera.focal_length) / cfg.reprojection_error_std
+
+        self.pending_gnss = []
+        self.keyframe_queue = []
+        self.unused_time_nodes = []
+        self.initlength_count = 0
+        self.iterations = [0, 0]
+        self.timecosts = [0.0, 0.0, 0.0]
+        self.outlier_counts = [0, 0]
+        self._lm_slots = {}
+
+    # ------------------------------------------------------------------
+    # replay driver
+    # ------------------------------------------------------------------
+
+    def run(self, imu_data, gnss_data, frame_times, image_provider):
+        """Replay all streams. frame_times: (F,) stamps; image_provider(k)
+        returns the (H,W) grayscale image of frame k."""
+        from ..engine.replay import ImuStream
+
+        stream = ImuStream(imu_data)
+        gtime = np.asarray(gnss_data["time"], np.float64)
+        gblh = np.asarray(gnss_data["blh"], np.float64)
+        gstd = np.asarray(gnss_data["std"], np.float64)
+        ftime = np.asarray(frame_times, np.float64)
+
+        events = [("gnss", gtime[k], k) for k in range(len(gtime))]
+        events += [("frame", ftime[k], k) for k in range(len(ftime))]
+        events.sort(key=lambda e: (e[1], e[0] == "frame"))
+
+        from ..core import earth
+
+        last_gnss = None
+        for kind, t, k in events:
+            if kind == "gnss":
+                if (gstd[k] == 0).all():
+                    continue
+                if np.linalg.norm(gstd[k]) > self.cfg.gnssthreshold:
+                    continue
+                if self.cfg.isusegnssoutage and gtime[k] >= self.cfg.gnssoutagetime:
+                    continue
+                if self.origin is None:
+                    self.origin = gblh[k].copy()
+                    self.gravity = float(_cpu(earth.gravity, self.origin))
+                    gnss = dict(time=float(t), blh=np.zeros(3), std=gstd[k].copy())
+                else:
+                    gnss = dict(
+                        time=float(t),
+                        blh=_cpu(earth.global2local, self.origin, gblh[k]),
+                        std=gstd[k].copy(),
+                    )
+
+                if self.state == "INITIALIZING":
+                    if last_gnss is not None:
+                        self._try_initialize(stream, gnss=gnss, last_gnss=last_gnss)
+                    last_gnss = gnss
+                elif self.state == "INITIALIZING_INS":
+                    self._process_gnss_ins(stream, gnss)
+                else:
+                    self.pending_gnss.append(gnss)
+                    self._drain_pending_gnss(stream)
+            else:
+                if self.state in ("INITIALIZING", "INITIALIZING_INS"):
+                    continue
+                if t + self.td_b_c >= stream.time[-1] - 0.02:
+                    continue
+                self._process_frame(stream, t, image_provider(k))
+
+        if self.prop is not None:
+            self.prop.propagate_to(float(stream.time[-1]), sample_cb=self._write_samples)
+        if self.out:
+            self.out.close()
+        return np.asarray(self.trajectory) if self.trajectory else np.zeros((0, 8))
+
+    def _try_initialize(self, stream, gnss, last_gnss):
+        ok = super()._try_initialize(stream, last_gnss, gnss)
+        return ok
+
+    def _process_gnss_ins(self, stream, gnss):
+        """INITIALIZING_INS: GNSS/INS integration (ic_gvins.cc:313-330,
+        411-425); switch to the visual stage after initlength preints."""
+        self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples)
+        self._add_gnss_node(stream, gnss)
+        self.est.optimize(num_iterations=50)
+        self.est.reintegrate_if_needed()
+        if self.est.n_nodes >= self.wcfg.N - 1:
+            self.est.marginalize(1)
+        self.initlength_count = self.est.n_nodes - 1
+        st = self.est.latest_state()
+        self.prop.set_state(st)
+        self.trajectory.append([st.time, *np.asarray(st.p), *np.asarray(st.q)])
+        if self.initlength_count >= self.cfg.initlength:
+            self.state = "INITIALIZING_VIO"
+        self._stream = stream
+
+    # ------------------------------------------------------------------
+    # frame path
+    # ------------------------------------------------------------------
+
+    def _process_frame(self, stream, stamp, image):
+        td = self.td_b_c
+        t_frame = stamp + td
+        if t_frame <= self.est.times[self.est.n_nodes - 1]:
+            return
+
+        frame = VFrame(t_frame)
+        frame.td = td
+
+        # INS prior pose -> camera pose (runTracking, ic_gvins.cc:525-533)
+        p, q = self.prop.pose_interpolated(t_frame)
+        Rwb = np.asarray(quat.to_matrix(jnp.asarray(q)))
+        frame.R = Rwb @ self.pose_b_c_R
+        frame.t = p + Rwb @ self.pose_b_c_t
+
+        state = self.tracker.track(frame, image)
+
+        if self.tracker.is_new_keyframe or state in (TRACK_FIRST_FRAME, TRACK_LOST):
+            self.keyframe_queue.append(frame)
+        else:
+            return
+
+        if self.state == "INITIALIZING_VIO":
+            self._add_keyframe_nodes(stream)
+            self.state = "TRACKING_INITIALIZING"
+            self._drain_pending_gnss(stream)
+            return
+
+        # TRACKING_INITIALIZING / TRACKING_NORMAL
+        self._add_keyframe_nodes(stream)
+        self._drain_pending_gnss(stream)
+
+        if self.vmap.is_maximum_keyframes():
+            self.state = "TRACKING_NORMAL"
+
+        self._optimize_visual()
+        self._remove_second_new_frames()
+        while self.vmap.is_maximum_keyframes():
+            self._marginalize_visual()
+        self._write_statistics()
+
+        # feedback to INS (isoptimized_ path)
+        st = self.est.latest_state()
+        if self.cfg.iswithearth:
+            from ..core import earth
+
+            self.prop.update_iewn(_cpu(earth.iewn, self.origin, np.asarray(st.p)))
+        self.prop.set_state(st)
+        self.trajectory.append([st.time, *np.asarray(st.p), *np.asarray(st.q)])
+        if self.tracker.logging_row is not None and self.out:
+            row = self.tracker.logging_row + [len(self.tracker.frame_cur.features), 0.0]
+            self.out.write_tracking(row)
+
+    def _add_keyframe_nodes(self, stream):
+        """addNewKeyFrameTimeNode (ic_gvins.cc:724-752)."""
+        while self.keyframe_queue:
+            frame = self.keyframe_queue.pop(0)
+            if frame.stamp <= self.est.times[self.est.n_nodes - 1] + MINIMUM_TIME_INTERVAL:
+                continue
+            if frame.kf_id is None:
+                frame.set_keyframe(KEYFRAME_NORMAL)
+            self.vmap.insert_keyframe(frame)
+            series = stream.series(self.est.times[self.est.n_nodes - 1], frame.stamp)
+            self.est.add_time_node(frame.stamp, series)
+        self._merge_unused_nodes()
+
+    def _merge_unused_nodes(self):
+        """removeUnusedTimeNode (ic_gvins.cc:754-789)."""
+        for t in self.unused_time_nodes:
+            k = self.est._node_index_of_time(t)
+            # interior nodes only; times already marginalized away resolve
+            # to -1/0 and are skipped
+            if 1 <= k < self.est.n_nodes - 1 and self.est.segments_np[k] is not None:
+                self.est.merge_node(k)
+        self.unused_time_nodes = []
+
+    # ------------------------------------------------------------------
+    # GNSS node insertion (ic_gvins.cc:791-888)
+    # ------------------------------------------------------------------
+
+    def _drain_pending_gnss(self, stream):
+        still = []
+        for gnss in self.pending_gnss:
+            if not self._insert_gnss_node(stream, gnss):
+                still.append(gnss)
+        self.pending_gnss = still
+
+    def _insert_gnss_node(self, stream, gnss):
+        est = self.est
+        n = est.n_nodes
+        if gnss["time"] > est.times[n - 1]:
+            return False  # wait for a later keyframe node
+
+        # find bracketing interval
+        index = -1
+        for k in range(n - 1, 1, -1):
+            if est.times[k - 1] < gnss["time"] <= est.times[k]:
+                index = k
+                break
+        if index < 0:
+            return True  # too old; drop
+
+        sta, end = est.times[index - 1], est.times[index]
+
+        # the bracketing end node must be a NORMAL keyframe
+        is_need = False
+        for kf_id in self.vmap.ordered_keyframes():
+            f = self.vmap.keyframes[kf_id]
+            if abs(f.stamp - end) < MINIMUM_TIME_INTERVAL:
+                if f.keyframe_state != KEYFRAME_REMOVE_SECOND_NEW:
+                    is_need = True
+        if not is_need:
+            return True  # unused GNSS (non-normal keyframe)
+
+        if gnss["time"] - sta < MINMUM_SYNC_INTERVAL:
+            dt = gnss["time"] - sta
+            g = dict(
+                time=sta,
+                blh=gnss["blh"] - est.mixes[index - 1, :3] * dt,
+                std=gnss["std"] * 1.2,
+            )
+            est.add_gnss(g["time"], g["blh"], g["std"])
+        elif end - gnss["time"] < MINMUM_SYNC_INTERVAL:
+            dt = end - gnss["time"]
+            g = dict(
+                time=end,
+                blh=gnss["blh"] + est.mixes[index, :3] * dt,
+                std=gnss["std"] * 1.2,
+            )
+            est.add_gnss(g["time"], g["blh"], g["std"])
+        else:
+            # insert a node mid-interval: rebuild the tail
+            if float(self.est.preint_table.summ.dt[index - 1]) > MAXIMUM_PREINTEGRATION_LENGTH:
+                return True
+            dropped = est.truncate_to(index)
+            series = stream.series(est.times[index - 1], gnss["time"])
+            est.add_time_node(gnss["time"], series)
+            est.add_gnss(gnss["time"], gnss["blh"], gnss["std"])
+            for t in dropped:
+                series = stream.series(est.times[est.n_nodes - 1], t)
+                est.add_time_node(t, series)
+        return True
+
+    # ------------------------------------------------------------------
+    # optimization episode (gvinsOptimization, ic_gvins.cc:1130-1239)
+    # ------------------------------------------------------------------
+
+    def _assign_landmark_slots(self):
+        """addReprojectionParameters (ic_gvins.cc:1697-1761)."""
+        slots = {}
+        invdepths = np.full(self.wcfg.L, 0.1)
+        lm_valid = np.zeros(self.wcfg.L)
+        slot = 0
+        for lm_id in sorted(self.vmap.landmarks.keys()):
+            lm = self.vmap.landmarks[lm_id]
+            if lm.outlier or slot >= self.wcfg.L:
+                continue
+            if not self.vmap.is_keyframe_in_map(lm.ref_frame):
+                continue
+            inv = 1.0 / lm.depth if lm.depth > 0 else np.nan
+            if not np.isfinite(inv):
+                lm.outlier = True
+                continue
+            slots[lm_id] = slot
+            invdepths[slot] = inv
+            lm_valid[slot] = 1.0
+            lm.optimized_times += 1
+            slot += 1
+        self._lm_slots = slots
+        return slots, invdepths, lm_valid
+
+    def _build_reproj_table(self, slots):
+        """addReprojectionFactors (ic_gvins.cc:1763-1837)."""
+        wc = self.wcfg
+        rows = dict(ref_idx=[], obs_idx=[], lm_idx=[], pts0=[], pts1=[],
+                    vel0=[], vel1=[], td0=[], td1=[])
+        for lm_id, slot in slots.items():
+            lm = self.vmap.landmarks[lm_id]
+            ref = lm.ref_frame
+            ref_node = self.est._node_index_of_time(ref.stamp)
+            if ref_node < 0:
+                continue
+            ref_obs = ref.features.get(lm_id)
+            if ref_obs is None:
+                continue
+            pc0 = np.asarray(vcam.pixel2cam(self.camera, jnp.asarray(ref_obs.undis)))
+            for obs in lm.observations:
+                f = obs.frame
+                if obs.outlier or f is ref or not f.is_keyframe:
+                    continue
+                if not self.vmap.is_keyframe_in_map(f):
+                    continue
+                obs_node = self.est._node_index_of_time(f.stamp)
+                if obs_node < 0 or obs_node == ref_node:
+                    continue
+                if len(rows["ref_idx"]) >= wc.R:
+                    break
+                pc1 = np.asarray(vcam.pixel2cam(self.camera, jnp.asarray(obs.undis)))
+                rows["ref_idx"].append(ref_node)
+                rows["obs_idx"].append(obs_node)
+                rows["lm_idx"].append(slot)
+                rows["pts0"].append(pc0)
+                rows["pts1"].append(pc1)
+                rows["vel0"].append([ref_obs.velocity[0], ref_obs.velocity[1], 0.0])
+                rows["vel1"].append([obs.velocity[0], obs.velocity[1], 0.0])
+                rows["td0"].append(ref.td)
+                rows["td1"].append(f.td)
+
+        t = ReprojTable.empty(wc)
+        nrows = len(rows["ref_idx"])
+        if nrows:
+            t = t._replace(
+                ref_idx=t.ref_idx.at[:nrows].set(jnp.asarray(rows["ref_idx"], jnp.int32)),
+                obs_idx=t.obs_idx.at[:nrows].set(jnp.asarray(rows["obs_idx"], jnp.int32)),
+                lm_idx=t.lm_idx.at[:nrows].set(jnp.asarray(rows["lm_idx"], jnp.int32)),
+                pts0=t.pts0.at[:nrows].set(jnp.asarray(np.stack(rows["pts0"]))),
+                pts1=t.pts1.at[:nrows].set(jnp.asarray(np.stack(rows["pts1"]))),
+                vel0=t.vel0.at[:nrows].set(jnp.asarray(np.asarray(rows["vel0"]))),
+                vel1=t.vel1.at[:nrows].set(jnp.asarray(np.asarray(rows["vel1"]))),
+                td0=t.td0.at[:nrows].set(jnp.asarray(rows["td0"])),
+                td1=t.td1.at[:nrows].set(jnp.asarray(rows["td1"])),
+                valid=t.valid.at[:nrows].set(1.0),
+            )
+        t = t._replace(sqrt_info=jnp.asarray(self.reproj_sqrt_info))
+        return t, nrows
+
+    def _optimize_visual(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        est = self.est
+        # sync extrinsic into the estimator parameters
+        q_bc = np.asarray(quat.from_matrix(jnp.asarray(self.pose_b_c_R)))
+        est.ext = np.concatenate([self.pose_b_c_t, q_bc])
+        est.td = self.td_b_c
+
+        slots, invdepths, lm_valid = self._assign_landmark_slots()
+        reproj, nrows = self._build_reproj_table(slots)
+
+        estimating = self.state == "TRACKING_NORMAL"
+        tables = est.build_tables(
+            ext_active=self.cfg.optimize_estimate_extrinsic and estimating,
+            td_active=self.cfg.optimize_estimate_td and estimating,
+            reproj_table=reproj,
+            lm_valid=lm_valid,
+        )
+        params = est.build_params(invdepths=invdepths)
+
+        params, tables2, stats = est.optimize(
+            num_iterations=self.cfg.optimize_num_iterations,
+            two_pass=True,
+            tables=tables,
+            params=params,
+        )
+        s1, s2, n_gnss_out, n_reproj_out = stats
+        self.iterations = [int(s1.iterations), int(s2.iterations)]
+        self.timecosts[0] = self.timecosts[1] = (_time.perf_counter() - t0) * 500.0
+
+        if not self.vmap.is_maximum_keyframes():
+            est.reintegrate_if_needed()
+
+        self._update_from_optimizer(params, slots)
+        self._visual_outlier_culling(slots)
+        self._last_tables = tables2
+        self._last_invdepths = np.array(params.invdepths)
+        self._last_lm_valid = lm_valid
+
+    def _update_from_optimizer(self, params, slots):
+        """updateParametersFromOptimizer (ic_gvins.cc:1299-1389)."""
+        est = self.est
+        if self.cfg.optimize_estimate_td and self.state == "TRACKING_NORMAL":
+            self.td_b_c = float(params.td)
+
+        if self.cfg.optimize_estimate_extrinsic and self.state == "TRACKING_NORMAL":
+            ext = np.asarray(params.ext)
+            t_new = ext[:3]
+            R_new = np.asarray(quat.to_matrix(jnp.asarray(ext[3:7] / np.linalg.norm(ext[3:7]))))
+            dt = np.linalg.norm(t_new - self.pose_b_c_t)
+            dq = np.asarray(quat.from_matrix(jnp.asarray(R_new @ self.pose_b_c_R.T)))
+            dr = np.linalg.norm(dq[:3]) * 2.0 * R2D
+            if dt <= 1.0 and dr <= 5.0:
+                self.pose_b_c_R, self.pose_b_c_t = R_new, t_new
+            if self.out:
+                euler = np.asarray(quat.matrix_to_euler(jnp.asarray(R_new))) * R2D
+                self.out.write_extrinsic(est.times[est.n_nodes - 1], t_new, euler, self.td_b_c)
+
+        # keyframe poses from node states
+        for kf in self.vmap.keyframes.values():
+            k = est._node_index_of_time(kf.stamp)
+            if k < 0:
+                continue
+            p, q = est.poses[k, :3], est.poses[k, 3:7]
+            Rwb = np.asarray(quat.to_matrix(jnp.asarray(q)))
+            kf.R = Rwb @ self.pose_b_c_R
+            kf.t = p + Rwb @ self.pose_b_c_t
+
+        # landmark depths (ic_gvins.cc:1362-1388)
+        inv = np.asarray(params.invdepths)
+        for lm_id, slot in slots.items():
+            lm = self.vmap.landmarks.get(lm_id)
+            if lm is None or lm.outlier:
+                continue
+            if not self.vmap.is_keyframe_in_map(lm.ref_frame):
+                continue
+            invdepth = inv[slot]
+            if not np.isfinite(invdepth) or invdepth == 0:
+                continue
+            depth = 1.0 / invdepth
+            pc = np.asarray(vcam.pixel2cam(self.camera, jnp.asarray(lm.ref_undis))) * depth
+            lm.pos = lm.ref_frame.R @ pc + lm.ref_frame.t
+            lm.update_depth(depth)
+
+    def _visual_outlier_culling(self, slots):
+        """gvinsOutlierCulling (ic_gvins.cc:1035-1128)."""
+        n_lm_out, n_feat_out = 0, 0
+        to_remove = []
+        for lm_id, slot in slots.items():
+            lm = self.vmap.landmarks.get(lm_id)
+            if lm is None or lm.outlier:
+                continue
+            errors = []
+            killed = False
+            for obs in lm.observations:
+                f = obs.frame
+                if obs.outlier or not f.is_keyframe or not self.vmap.is_keyframe_in_map(f):
+                    continue
+                err = np.linalg.norm(
+                    np.asarray(
+                        vcam.reprojection_error(
+                            self.camera, jnp.asarray(f.R), jnp.asarray(f.t),
+                            jnp.asarray(lm.pos), jnp.asarray(obs.undis),
+                        )
+                    )
+                )
+                if not self._good_obs(obs.undis, f, lm.pos):
+                    obs.outlier = True
+                    lm.used_times -= 1
+                    if f.id == lm.ref_frame.id:
+                        lm.outlier = True
+                        to_remove.append(lm)
+                        n_lm_out += 1
+                        killed = True
+                        break
+                    n_feat_out += 1
+                else:
+                    errors.append(err)
+            if killed:
+                continue
+            if len(errors) < 2:
+                lm.outlier = True
+                to_remove.append(lm)
+                n_lm_out += 1
+            elif np.mean(errors) > self.cfg.reprojection_error_std:
+                lm.outlier = True
+                to_remove.append(lm)
+                n_lm_out += 1
+        for lm in to_remove:
+            self.vmap.remove_mappoint(lm)
+        self.outlier_counts = [n_lm_out, n_feat_out]
+
+    def _good_obs(self, und_px, frame, pw, scale=3.0):
+        pc = frame.R.T @ (pw - frame.t)
+        from ..vision.map import FARTHEST_DEPTH, NEAREST_DEPTH
+
+        if not (NEAREST_DEPTH < pc[2] < FARTHEST_DEPTH):
+            return False
+        proj = np.asarray(
+            vcam.world2pixel(self.camera, jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pw))
+        )
+        return np.linalg.norm(proj - und_px) <= self.cfg.reprojection_error_std * scale
+
+    # ------------------------------------------------------------------
+    # window maintenance
+    # ------------------------------------------------------------------
+
+    def _remove_second_new_frames(self):
+        """gvinsRemoveAllSecondNewFrame (ic_gvins.cc:1391-1410)."""
+        ordered = self.vmap.ordered_keyframes()
+        for kf_id in ordered:
+            f = self.vmap.keyframes.get(kf_id)
+            if f is None:
+                continue
+            if f.keyframe_state == KEYFRAME_REMOVE_SECOND_NEW or (
+                not f.features and kf_id != ordered[-1]
+            ):
+                # the merge is DEFERRED to the next keyframe insertion: the
+                # removed node may still be the newest (no successor interval
+                # to merge into yet) — matching the reference's
+                # unused_time_nodes_ consumption site (ic_gvins.cc:751)
+                self.unused_time_nodes.append(f.stamp)
+                f.reset_keyframe()
+                self.vmap.remove_keyframe(f, remove_mappoints=False)
+
+    def _marginalize_visual(self):
+        """gvinsMarginalization (ic_gvins.cc:1412-1678)."""
+        ordered = self.vmap.ordered_keyframes()
+        latest = self.vmap.keyframes[ordered[-1]]
+        latest.keyframe_state = KEYFRAME_NORMAL
+
+        second = self.vmap.keyframes[ordered[1]]
+        num_marg = self.est._node_index_of_time(second.stamp)
+        oldest = self.vmap.keyframes[ordered[0]]
+        oldest_node = self.est._node_index_of_time(oldest.stamp)
+        if num_marg <= 0:
+            # degenerate: nothing before the second keyframe
+            self.vmap.remove_keyframe(oldest, remove_mappoints=True)
+            return
+
+        # factor tables at the current linearization point
+        tables = getattr(self, "_last_tables", None)
+        invdepths = getattr(self, "_last_invdepths", None)
+        params = self.est.build_params(invdepths=invdepths)
+        self.est.marginalize(num_marg, oldest_kf_node=oldest_node, tables=tables, params=params)
+
+        # persist the marginalized landmarks (mappoint.txt) + drop keyframe
+        for lm_id in list(oldest.features.keys()):
+            lm = self.vmap.landmarks.get(lm_id)
+            if lm is None or lm.outlier or lm.ref_frame is not oldest:
+                continue
+            if self.out:
+                self.out.write_mappoint(lm.pos)
+        self.vmap.remove_keyframe(oldest, remove_mappoints=True)
+
+    def _write_statistics(self):
+        """parametersStatistic (ic_gvins.cc:930-1033)."""
+        if self.out is None:
+            return
+        ordered = self.vmap.ordered_keyframes()
+        if len(ordered) < 2:
+            return
+        cur = self.vmap.keyframes[ordered[-1]]
+        pre = self.vmap.keyframes[ordered[-2]]
+
+        errors = []
+        for lm_id, slot in self._lm_slots.items():
+            lm = self.vmap.landmarks.get(lm_id)
+            if lm is None or lm.outlier:
+                continue
+            obs_errs = []
+            for obs in lm.observations:
+                f = obs.frame
+                if obs.outlier or not f.is_keyframe or not self.vmap.is_keyframe_in_map(f):
+                    continue
+                e = np.linalg.norm(
+                    np.asarray(
+                        vcam.reprojection_error(
+                            self.camera, jnp.asarray(f.R), jnp.asarray(f.t),
+                            jnp.asarray(lm.pos), jnp.asarray(obs.undis),
+                        )
+                    )
+                )
+                obs_errs.append(e)
+            if obs_errs:
+                errors.append(np.mean(obs_errs))
+        if not errors:
+            errors = [0.0]
+        errors = np.asarray(errors)
+        self.out.write_statistics(
+            [
+                cur.stamp,
+                cur.stamp - pre.stamp,
+                float(cur.id - pre.id),
+                float(len(cur.features)),
+                errors.min(),
+                errors.max(),
+                errors.mean(),
+                float(np.sqrt(np.mean(errors**2))),
+                self.iterations[0],
+                self.iterations[1],
+                self.timecosts[0],
+                self.timecosts[1],
+                self.timecosts[2],
+                self.outlier_counts[0],
+                self.outlier_counts[1],
+            ]
+        )
