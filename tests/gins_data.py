@@ -9,7 +9,7 @@ from ic_gvins_tpu.ins import mechanization as mech
 
 
 def make_gins_dataset(
-    g=9.8,
+    g=None,
     rate=200.0,
     bg_true=(0.002, -0.001, 0.0005),
     ba_true=(0.01, -0.02, 0.03),
@@ -23,12 +23,30 @@ def make_gins_dataset(
     6-24 s gentle coordinated turn. IMU increments are generated in the body
     frame and the ground truth is the framework's own mechanization of the
     bias-free increments (self-consistent world)."""
+    origin = np.array(
+        [np.deg2rad(origin_deg[0]), np.deg2rad(origin_deg[1]), origin_deg[2]]
+    )
+    if g is None:
+        # gravity must match what the estimator derives from the first fix
+        # (Earth::gravity at the origin) or the noise-free IMU's tight
+        # whitening turns the mismatch into a systematic preint residual
+        from ic_gvins_tpu.core import earth
+        import jax.numpy as _jnp
+
+        g = float(earth.gravity(_jnp.asarray(origin)))
+
     dt = 1.0 / rate
     # (duration, gyro rate, specific force, in_motion)
+    # motion starts EXACTLY at the t=4 GNSS epoch with >0.5 m first-second
+    # displacement so alignment triggers on the (4,5) pair and the reference
+    # v=0 prior (ic_gvins.cc:652-667) anchors at t=4 where the vehicle truly
+    # was stationary. (A softer start slips alignment to the next pair and
+    # plants a ~1 m/s 10-sigma velocity-prior error — the reference carries
+    # the same behavior.)
     segs = [
         (4.0, np.zeros(3), np.array([0, 0, -g]), False),
-        (2.0, np.zeros(3), np.array([1.0, 0, -g]), True),
-        (18.0, np.array([0, 0, 0.05]), np.array([0.0, 0.1, -g]), True),
+        (2.0, np.zeros(3), np.array([1.3, 0, -g]), True),
+        (18.0, np.array([0, 0, 0.05]), np.array([0.0, 0.13, -g]), True),
     ]
     w_list, f_list = [], []
     t_off = 0.0
@@ -62,12 +80,18 @@ def make_gins_dataset(
     _, (p_true, q_true, v_true) = mech.mechanize_scan(cfg, NavState.identity(), imu_true)
     p_true, q_true, v_true = np.asarray(p_true), np.asarray(q_true), np.asarray(v_true)
 
-    # measured increments include biases (+ optional noise)
+    # measured increments include biases + white noise at the configured
+    # densities (arw/vrw 0.1 deg/sqrt(hr), 0.1 m/s/sqrt(hr)): without real
+    # measurement noise the preintegration whitening (built from these same
+    # densities) amplifies tiny interpolation/discretization systematics
+    # into multi-sigma residuals that out-shout the GNSS factors
     rng = np.random.default_rng(seed)
     bg = np.asarray(bg_true)
     ba = np.asarray(ba_true)
-    dtheta_m = (w + bg) * dt
-    dvel_m = (f + ba) * dt
+    arw = 0.1 * np.pi / 180.0 / 60.0   # rad/sqrt(s)
+    vrw = 0.1 / 60.0                   # m/s/sqrt(s)
+    dtheta_m = (w + bg) * dt + rng.normal(0, arw * np.sqrt(dt), (n, 3))
+    dvel_m = (f + ba) * dt + rng.normal(0, vrw * np.sqrt(dt), (n, 3))
 
     imu_data = dict(
         time=t, dt=np.full(n, dt), dtheta=dtheta_m, dvel=dvel_m, odovel=np.zeros(n)
@@ -76,9 +100,6 @@ def make_gins_dataset(
     # GNSS at integer seconds: antenna position + noise, output geodetic
     from ic_gvins_tpu.core import earth
 
-    origin = np.array(
-        [np.deg2rad(origin_deg[0]), np.deg2rad(origin_deg[1]), origin_deg[2]]
-    )
     gt_times = np.arange(1.0, t[-1], 1.0)
     gnss_blh, gnss_local = [], []
     lever = np.asarray(lever)

@@ -15,9 +15,13 @@ FX = 250.0
 
 
 def render_frame(camera, pts_w, Rcw, tcw, seed=1):
-    """Gaussian blobs at distorted projections over a textured background."""
+    """Gaussian blobs at distorted projections over a FLAT background.
+
+    The background must be featureless: any image-fixed texture would track
+    as phantom zero-flow features with no consistent 3D interpretation and
+    corrupt the bundle adjustment."""
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
-    img = 90.0 + 15.0 * np.sin(xx / 29.0) * np.sin(yy / 31.0)
+    img = np.full((H, W), 90.0)
     pc = (pts_w - tcw) @ Rcw
     valid = pc[:, 2] > 1.0
     if valid.any():

@@ -1,0 +1,32 @@
+"""Multi-chip layer: sharded batched solves on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as ge
+from ic_gvins_tpu.parallel import mesh as pmesh
+from ic_gvins_tpu.solver import lm
+from ic_gvins_tpu.solver.problem import WindowConfig
+
+
+def test_sharded_matches_single():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"conftest should give 8 virtual cpu devices, got {n_dev}"
+    cfg = WindowConfig(N=4, L=16, G=4, R=32, with_earth=False)
+    params_b, tables_b = ge._make_problem(cfg, batch=n_dev)
+
+    m = pmesh.make_mesh()
+    jitted, place = pmesh.sharded_two_pass(m, cfg, num_iterations=4)
+    out_params, _ = jitted(place(params_b), place(tables_b))
+
+    # single-problem reference
+    p1, t1 = ge._make_problem(cfg)
+    ref, _, _ = lm.solve_two_pass(p1, t1, cfg, 4)
+
+    for k in range(n_dev):
+        np.testing.assert_allclose(
+            np.asarray(out_params.poses[k]), np.asarray(ref.poses), atol=1e-9
+        )
+    # actually sharded over the mesh
+    assert len(out_params.poses.sharding.device_set) == n_dev
