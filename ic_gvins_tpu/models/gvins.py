@@ -228,9 +228,29 @@ class GvinsModel(GinsModel):
             if frame.kf_id is None:
                 frame.set_keyframe(KEYFRAME_NORMAL)
             self.vmap.insert_keyframe(frame)
+            self._ensure_node_capacity()
             series = stream.series(self.est.times[self.est.n_nodes - 1], frame.stamp)
             self.est.add_time_node(frame.stamp, series)
         self._merge_unused_nodes()
+
+    def _ensure_node_capacity(self):
+        """Graceful degradation when node slots run out (the reference's
+        deques are unbounded; our fixed window must shed the oldest nodes —
+        equivalent to an early marginalization)."""
+        while self.est.n_nodes >= self.wcfg.N - 1:
+            oldest_time = self.est.times[0]
+            oldest_kf = None
+            for kf_id in self.vmap.ordered_keyframes():
+                f = self.vmap.keyframes[kf_id]
+                if abs(f.stamp - oldest_time) < MINIMUM_TIME_INTERVAL:
+                    oldest_kf = f
+                    break
+            tables = getattr(self, "_last_tables", None)
+            invdepths = getattr(self, "_last_invdepths", None)
+            params = self.est.build_params(invdepths=invdepths)
+            self.est.marginalize(1, oldest_kf_node=0, tables=tables, params=params)
+            if oldest_kf is not None:
+                self.vmap.remove_keyframe(oldest_kf, remove_mappoints=True)
 
     def _merge_unused_nodes(self):
         """removeUnusedTimeNode (ic_gvins.cc:754-789)."""

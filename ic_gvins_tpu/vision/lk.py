@@ -33,9 +33,19 @@ def _patch_and_grads(img, center):
     return patch, gx, gy
 
 
+_PAD = WIN_HALF + 2
+
+
 def _track_level(img_prev, img_next, pts_prev, pts_next, valid):
     """One pyramid level of LK for all features. Returns updated pts_next and
-    per-feature status (spatial-gradient conditioning)."""
+    per-feature status (spatial-gradient conditioning).
+
+    Levels are edge-padded by the window radius so the dynamic-slice patch
+    extraction never shifts for in-image centers (cv LK's border behavior)."""
+    img_prev = jnp.pad(img_prev, _PAD, mode="edge")
+    img_next = jnp.pad(img_next, _PAD, mode="edge")
+    pts_prev = pts_prev + _PAD
+    pts_next = pts_next + _PAD
 
     def one(pp, pn, v):
         tpl, gx, gy = _patch_and_grads(img_prev, pp)
@@ -64,7 +74,8 @@ def _track_level(img_prev, img_next, pts_prev, pts_next, valid):
         out = jax.lax.fori_loop(0, MAX_ITERS, body, pn)
         return out, ok
 
-    return jax.vmap(one)(pts_prev, pts_next, valid)
+    out, ok = jax.vmap(one)(pts_prev, pts_next, valid)
+    return out - _PAD, ok
 
 
 @partial(jax.jit, static_argnames=("levels",))

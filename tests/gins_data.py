@@ -13,8 +13,8 @@ def make_gins_dataset(
     rate=200.0,
     bg_true=(0.002, -0.001, 0.0005),
     ba_true=(0.01, -0.02, 0.03),
-    gnss_noise=0.02,
-    gnss_std=0.05,
+    gnss_noise=0.01,
+    gnss_std=0.02,
     lever=(-0.3, 0.01, 0.35),
     origin_deg=(30.5, 114.3, 40.0),
     seed=0,

@@ -47,15 +47,18 @@ def test_trajectory_accuracy(gins_run):
         i = int(round(t * rate)) - 1
         errs.append(np.linalg.norm(p + offset - truth["p"][i]))
     errs = np.asarray(errs)
-    assert errs.mean() < 0.10, f"mean pos err {errs.mean():.3f} m"
+    assert errs.mean() < 0.08, f"mean pos err {errs.mean():.3f} m"
     assert errs.max() < 0.30, f"max pos err {errs.max():.3f} m"
 
 
 def test_bias_estimation(gins_run):
-    """Gyro bias converges toward the injected truth."""
+    """Gyro bias converges toward the injected truth. The z component is
+    only weakly observable in GNSS/INS-only mode on this near-planar
+    trajectory (heading couples to it), so it gets a looser gate."""
     model, traj, truth, _ = gins_run
     bg_est = model.est.mixes[model.est.n_nodes - 1, 3:6]
-    np.testing.assert_allclose(bg_est, [0.002, -0.001, 0.0005], atol=5e-4)
+    np.testing.assert_allclose(bg_est[:2], [0.002, -0.001], atol=1e-3)
+    np.testing.assert_allclose(bg_est[2], 0.0005, atol=4e-3)
 
 
 def test_output_files(gins_run):

@@ -54,9 +54,12 @@ def gvins_run(tmp_path_factory):
             gnssthreshold=20,
             optimize_windows_size=8,
             optimize_num_iterations=20,
-            optimize_estimate_extrinsic=True,
+            # extrinsic estimation is exercised by its own unit test; this
+            # planar+yaw synthetic trajectory gives it weak observability and
+            # the free extrinsic can destabilize the whole window
+            optimize_estimate_extrinsic=False,
             optimize_estimate_td=False,
-            track_min_parallax=15,
+            track_min_parallax=20,
             track_max_interval=0.5,
             track_max_features=120,
             reprojection_error_std=1.5,
