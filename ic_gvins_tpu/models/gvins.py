@@ -175,6 +175,10 @@ class GvinsModel(GinsModel):
         frame = VFrame(t_frame)
         frame.td = td
 
+        # mechanize + per-sample nav output up to the frame (the reference's
+        # fusion thread writes nav results at IMU rate, misc.cc:417-499)
+        self.prop.propagate_to(t_frame, sample_cb=self._write_samples)
+
         # INS prior pose -> camera pose (runTracking, ic_gvins.cc:525-533)
         p, q = self.prop.pose_interpolated(t_frame)
         Rwb = np.asarray(quat.to_matrix(jnp.asarray(q)))
@@ -245,9 +249,7 @@ class GvinsModel(GinsModel):
                 if abs(f.stamp - oldest_time) < MINIMUM_TIME_INTERVAL:
                     oldest_kf = f
                     break
-            tables = getattr(self, "_last_tables", None)
-            invdepths = getattr(self, "_last_invdepths", None)
-            params = self.est.build_params(invdepths=invdepths)
+            tables, params = self._fresh_tables_and_params()
             self.est.marginalize(1, oldest_kf_node=0, tables=tables, params=params)
             if oldest_kf is not None:
                 self.vmap.remove_keyframe(oldest_kf, remove_mappoints=True)
@@ -333,7 +335,7 @@ class GvinsModel(GinsModel):
     # optimization episode (gvinsOptimization, ic_gvins.cc:1130-1239)
     # ------------------------------------------------------------------
 
-    def _assign_landmark_slots(self):
+    def _assign_landmark_slots(self, count_optimized=True):
         """addReprojectionParameters (ic_gvins.cc:1697-1761)."""
         slots = {}
         invdepths = np.full(self.wcfg.L, 0.1)
@@ -352,10 +354,26 @@ class GvinsModel(GinsModel):
             slots[lm_id] = slot
             invdepths[slot] = inv
             lm_valid[slot] = 1.0
-            lm.optimized_times += 1
+            if count_optimized:
+                lm.optimized_times += 1
             slot += 1
         self._lm_slots = slots
         return slots, invdepths, lm_valid
+
+    def _fresh_tables_and_params(self):
+        """Rebuild factor tables + params from the CURRENT window structure.
+        Node indices shift whenever second-new nodes merge or the window
+        slides, so marginalization must never reuse tables from the last
+        optimization episode (the reference rebuilds all marginalization
+        factors from the live lists, ic_gvins.cc:1482-1610)."""
+        slots, invdepths, lm_valid = self._assign_landmark_slots(count_optimized=False)
+        reproj, _ = self._build_reproj_table(slots)
+        tables = self.est.build_tables(
+            ext_active=False, td_active=False,
+            reproj_table=reproj, lm_valid=lm_valid,
+        )
+        params = self.est.build_params(invdepths=invdepths)
+        return tables, params
 
     def _build_reproj_table(self, slots):
         """addReprojectionFactors (ic_gvins.cc:1763-1837)."""
@@ -594,10 +612,9 @@ class GvinsModel(GinsModel):
             self.vmap.remove_keyframe(oldest, remove_mappoints=True)
             return
 
-        # factor tables at the current linearization point
-        tables = getattr(self, "_last_tables", None)
-        invdepths = getattr(self, "_last_invdepths", None)
-        params = self.est.build_params(invdepths=invdepths)
+        # factor tables rebuilt at the CURRENT structure (node indices may
+        # have shifted since the optimization episode's tables)
+        tables, params = self._fresh_tables_and_params()
         self.est.marginalize(num_marg, oldest_kf_node=oldest_node, tables=tables, params=params)
 
         # persist the marginalized landmarks (mappoint.txt) + drop keyframe
