@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for one pyramidal-LK level over a feature batch.
+
+The LK inner loop is the hottest op in the replay pipeline (2 tracker calls
+x fwd/bwd x 4 levels x 30 iterations per frame). The XLA fallback
+(vision/lk.py) re-gathers a 22x22 patch from the full HBM image on every
+iteration; this kernel instead DMAs ONE (64,256) neighbourhood per feature
+into VMEM and runs all 30 iterations on-chip:
+
+  - block corners are tile-aligned ((8,128) HBM tiling) and arrive via
+    scalar prefetch so the DMAs issue before the body
+  - alignment of a float position onto the block center uses two dynamic
+    rolls (integer part, mosaic dynamic_rotate) + a 4-shift bilinear blend
+    (fraction) — dense VPU ops only, no gathers
+  - template gradients and the 2x2 normal matrix are computed once under a
+    static 21x21 mask; each of the 30 iterations is a handful of masked
+    reductions and a 2x2 solve
+
+Grid: one program per feature.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN_HALF = 10           # 21x21 window (tracking.cc:386)
+BLK_R, BLK_C = 64, 256  # VMEM neighbourhood block (rows, lanes)
+CY, CX = 32, 128        # alignment target center inside the block
+ROW_OFF, COL_OFF = 28, 96  # corner offsets before tile alignment
+MAX_ITERS = 30
+EPS = 0.01
+MIN_EIG_THRESHOLD = 1e-4
+
+
+def _roll(block, shift, axis):
+    """Circular shift that lowers on mosaic for traced shifts. Mosaic's
+    dynamic_rotate wants a NON-NEGATIVE i32 amount, and x64 mode would
+    promote python ints to i64 — normalize modulo the dimension size."""
+    size = block.shape[axis]
+    shift = jnp.asarray(shift, jnp.int32) % jnp.int32(size)
+    try:
+        return pltpu.roll(block, shift, axis)
+    except Exception:  # interpret mode / older API
+        return jnp.roll(block, shift, axis)
+
+
+def _align(block, ly, lx):
+    """Roll+blend so that float position (ly, lx) lands exactly on (CY, CX)."""
+    di_y = jnp.floor(ly).astype(jnp.int32) - CY
+    di_x = jnp.floor(lx).astype(jnp.int32) - CX
+    fy = (ly - jnp.floor(ly)).astype(block.dtype)
+    fx = (lx - jnp.floor(lx)).astype(block.dtype)
+    a = _roll(_roll(block, -di_y, 0), -di_x, 1)
+    b = _roll(a, -1, 1)
+    c = _roll(a, -1, 0)
+    d = _roll(c, -1, 1)
+    return (1 - fy) * (1 - fx) * a + (1 - fy) * fx * b + fy * (1 - fx) * c + fy * fx * d
+
+
+def _window_mask(dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLK_R, BLK_C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLK_R, BLK_C), 1)
+    m = (
+        (rows >= CY - WIN_HALF) & (rows <= CY + WIN_HALF)
+        & (cols >= CX - WIN_HALF) & (cols <= CX + WIN_HALF)
+    )
+    return m.astype(dtype)
+
+
+def _kernel(corners_ref, feat_ref,
+            img_prev_ref, img_next_ref,
+            out_ref,
+            prev_blk, next_blk, sem):
+    # corners_ref: (4, N) i32 [py0, px0, ny0, nx0]; feat_ref: (8, N) f32
+    # [ppx, ppy, gx0, gy0, valid, ...] — transposed layout keeps the SMEM
+    # footprint at KBs (an (N,2) SMEM array is padded to 128 lanes per row)
+    f = pl.program_id(0)
+
+    py0 = pl.multiple_of(corners_ref[0, f], 8)
+    px0 = pl.multiple_of(corners_ref[1, f], 128)
+    ny0 = pl.multiple_of(corners_ref[2, f], 8)
+    nx0 = pl.multiple_of(corners_ref[3, f], 128)
+
+    cp_prev = pltpu.make_async_copy(
+        img_prev_ref.at[pl.ds(py0, BLK_R), pl.ds(px0, BLK_C)], prev_blk,
+        sem.at[jnp.int32(0)],
+    )
+    cp_next = pltpu.make_async_copy(
+        img_next_ref.at[pl.ds(ny0, BLK_R), pl.ds(nx0, BLK_C)], next_blk,
+        sem.at[jnp.int32(1)],
+    )
+    cp_prev.start()
+    cp_next.start()
+
+    ppx = feat_ref[0, f]
+    ppy = feat_ref[1, f]
+    gx0 = feat_ref[2, f]
+    gy0 = feat_ref[3, f]
+    v = feat_ref[4, f]
+
+    cp_prev.wait()
+    cp_next.wait()
+
+    mask = _window_mask(jnp.float32)
+
+    tpl_blk = _align(prev_blk[:, :], ppy - py0.astype(jnp.float32),
+                     ppx - px0.astype(jnp.float32))
+    gx = 0.5 * (_roll(tpl_blk, -1, 1) - _roll(tpl_blk, 1, 1))
+    gy = 0.5 * (_roll(tpl_blk, -1, 0) - _roll(tpl_blk, 1, 0))
+    gx = gx * mask
+    gy = gy * mask
+    gxx = jnp.sum(gx * gx)
+    gyy = jnp.sum(gy * gy)
+    gxy = jnp.sum(gx * gy)
+    det = gxx * gyy - gxy * gxy
+    n_px = jnp.float32((2 * WIN_HALF + 1) ** 2)
+    min_eig = 0.5 * ((gxx + gyy) - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy * gxy)) / n_px
+    ok = (min_eig > MIN_EIG_THRESHOLD) & (jnp.abs(det) > 1e-12) & (v > 0)
+    inv_det = jnp.where(jnp.abs(det) > jnp.float32(1e-12), jnp.float32(1.0) / det, jnp.float32(0.0))
+
+    nb = next_blk[:, :]
+    ny0f = ny0.astype(jnp.float32)
+    nx0f = nx0.astype(jnp.float32)
+
+    def body(_, g):
+        gx_cur, gy_cur = g
+        cur = _align(nb, gy_cur - ny0f, gx_cur - nx0f)
+        diff = (cur - tpl_blk) * mask
+        bx = jnp.sum(diff * gx)
+        by = jnp.sum(diff * gy)
+        dx = -(gyy * bx - gxy * by) * inv_det
+        dy = -(gxx * by - gxy * bx) * inv_det
+        step_ok = (jnp.sqrt(dx * dx + dy * dy) >= jnp.float32(EPS)) & ok
+        # f32 constants: python floats are weak f64 under x64 and mosaic has
+        # no f64 select
+        s = jnp.where(step_ok, jnp.float32(1.0), jnp.float32(0.0))
+        return (gx_cur + dx * s, gy_cur + dy * s)
+
+    gx_f, gy_f = jax.lax.fori_loop(0, MAX_ITERS, body, (gx0, gy0))
+
+    # fail tracks whose 21x21 window would wrap around the block edges
+    ly = gy_f - ny0f
+    lx = gx_f - nx0f
+    inside = (
+        (ly >= WIN_HALF + 1.0) & (ly <= BLK_R - WIN_HALF - 2.0)
+        & (lx >= WIN_HALF + 1.0) & (lx <= BLK_C - WIN_HALF - 2.0)
+    )
+
+    # mosaic cannot store scalars to VMEM: emit one 128-lane row per feature
+    # with [x, y, ok] in the first three lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    okf = jnp.where(ok & inside, jnp.float32(1.0), jnp.float32(0.0))
+    row = jnp.where(lane == 0, gx_f, jnp.where(lane == 1, gy_f, okf))
+    out_ref[f, :] = row[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lk_level_pallas(img_prev, img_next, pts_prev, pts_guess, valid, interpret=False):
+    """Track one pyramid level. Images (H,W) f32; pts (N,2) level coords.
+
+    Returns (pts_next (N,2) f32, ok (N,) bool)."""
+    H0, W0 = img_prev.shape
+    N = pts_prev.shape[0]
+    img_prev = img_prev.astype(jnp.float32)
+    img_next = img_next.astype(jnp.float32)
+    pts_prev = pts_prev.astype(jnp.float32)
+    pts_guess = pts_guess.astype(jnp.float32)
+
+    # pad to the tile grid and the minimum block size (edge padding keeps
+    # the cv border behavior closely enough; border tracks are culled)
+    H = max(-(-H0 // 8) * 8, BLK_R + 8)
+    W = max(-(-W0 // 128) * 128, BLK_C + 128)
+    if (H, W) != (H0, W0):
+        img_prev = jnp.pad(img_prev, ((0, H - H0), (0, W - W0)), mode="edge")
+        img_next = jnp.pad(img_next, ((0, H - H0), (0, W - W0)), mode="edge")
+
+    def corners(pts):
+        iy = jnp.floor(pts[:, 1]).astype(jnp.int32)
+        ix = jnp.floor(pts[:, 0]).astype(jnp.int32)
+        y0 = jnp.clip(((iy - ROW_OFF) // 8) * 8, 0, H - BLK_R)
+        x0 = jnp.clip(((ix - COL_OFF) // 128) * 128, 0, W - BLK_C)
+        return jnp.stack([y0, x0], axis=1)
+
+    corner_prev = corners(pts_prev)
+    corner_next = corners(pts_guess)
+    corners_packed = jnp.concatenate([corner_prev.T, corner_next.T], axis=0)  # (4, N)
+    feat_packed = jnp.concatenate(
+        [
+            pts_prev.T, pts_guess.T,
+            valid.astype(jnp.float32)[None, :],
+            jnp.zeros((3, N), jnp.float32),
+        ],
+        axis=0,
+    )  # (8, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # feat_packed (scalar reads)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # img_prev stays off-chip
+            pl.BlockSpec(memory_space=pltpu.ANY),   # img_next
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BLK_R, BLK_C), jnp.float32),
+            pltpu.VMEM((BLK_R, BLK_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    # trace the pallas_call with x64 disabled: under jax_enable_x64 the
+    # auto-generated block index maps emit i64 literals, which mosaic
+    # cannot legalize ('func.func' / transform_N failures)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            interpret=interpret,
+        )(corners_packed, feat_packed, img_prev, img_next)
+
+    return out[:, :2], out[:, 2] > 0

@@ -78,12 +78,29 @@ def _track_level(img_prev, img_next, pts_prev, pts_next, valid):
     return out - _PAD, ok
 
 
+def _use_pallas():
+    """The Pallas LK kernel runs on TPU backends; the XLA gather path is the
+    CPU/interpret fallback."""
+    import os
+
+    if os.environ.get("ICGVINS_DISABLE_PALLAS_LK"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 @partial(jax.jit, static_argnames=("levels",))
 def pyr_lk(pyr_prev, pyr_next, pts_prev, pts_init, valid, levels=PYRAMID_LEVELS):
     """Track pts_prev from pyr_prev into pyr_next starting at pts_init
     (USE_INITIAL_FLOW). pyramids: lists of (H/2^l, W/2^l) images.
 
     Returns (pts_next, status)."""
+    if _use_pallas():
+        from ..ops.pallas_lk import lk_level_pallas as level_fn
+    else:
+        level_fn = _track_level
     pts_prev = pts_prev.astype(pyr_prev[0].dtype)
     pts_init = pts_init.astype(pyr_prev[0].dtype)
     scale = 2.0 ** (levels - 1)
@@ -92,7 +109,7 @@ def pyr_lk(pyr_prev, pyr_next, pts_prev, pts_init, valid, levels=PYRAMID_LEVELS)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0**lvl
         pp = pts_prev / s
-        guess, ok = _track_level(pyr_prev[lvl], pyr_next[lvl], pp, guess, valid)
+        guess, ok = level_fn(pyr_prev[lvl], pyr_next[lvl], pp, guess, valid)
         status = status & ok
         if lvl > 0:
             guess = guess * 2.0
