@@ -94,17 +94,35 @@ def _numpy_imu(path, rate, mode):
 
 
 def load_gnss(path):
-    """GNSS text log -> replay dict. Columns: time lat(deg) lon(deg) h std x3."""
+    """GNSS text log -> replay dict. Columns: time lat(deg) lon(deg) h std x3
+    [yaw(deg) yawvalid] — the two optional trailing columns carry a
+    dual-antenna heading (GNSS::isyawvalid/yaw, common/types.h:32-40; the
+    reference ROS ingest hard-disables it, fusion_ros.cc:179)."""
     lib = _find_lib()
+    raw = None
     if lib:
         arr = _call_loader(lib.loader_load_gnss, path.encode())
     else:
-        arr = np.loadtxt(path)
-        if arr.ndim == 1:
-            arr = arr[None]
-        arr = arr[:, :7].copy()
+        raw = np.loadtxt(path)
+        if raw.ndim == 1:
+            raw = raw[None]
+        arr = raw[:, :7].copy()
         arr[:, 1:3] = np.deg2rad(arr[:, 1:3])
-    return dict(time=arr[:, 0], blh=arr[:, 1:4], std=arr[:, 4:7])
+    out = dict(time=arr[:, 0], blh=arr[:, 1:4], std=arr[:, 4:7])
+    if raw is None and lib:
+        try:
+            raw = np.loadtxt(path)
+            if raw.ndim == 1:
+                raw = raw[None]
+        except Exception:
+            raw = None
+    if raw is not None and raw.shape[1] >= 9:
+        out["yaw"] = np.deg2rad(raw[:, 7])
+        out["isyawvalid"] = raw[:, 8] != 0
+    else:
+        out["yaw"] = np.zeros(len(arr))
+        out["isyawvalid"] = np.zeros(len(arr), bool)
+    return out
 
 
 def load_frame_index(path, image_dir=None, suffix=".png"):

@@ -78,6 +78,11 @@ class GinsModel:
         gblh = np.asarray(gnss_data["blh"], np.float64)
         gstd = np.asarray(gnss_data["std"], np.float64)
 
+        gyaw = np.asarray(gnss_data.get("yaw", np.zeros(len(gtime))), np.float64)
+        gyawvalid = np.asarray(
+            gnss_data.get("isyawvalid", np.zeros(len(gtime), bool)), bool
+        )
+
         last_gnss = None
         for k in range(len(gtime)):
             # ingest gates (fusion_ros.cc:178-198)
@@ -92,10 +97,12 @@ class GinsModel:
                 # first fix defines the world origin + local gravity
                 self.origin = gblh[k].copy()
                 self.gravity = float(_cpu(earth.gravity, self.origin))
-                gnss = dict(time=float(gtime[k]), blh=np.zeros(3), std=gstd[k].copy())
+                gnss = dict(time=float(gtime[k]), blh=np.zeros(3), std=gstd[k].copy(),
+                            yaw=float(gyaw[k]), isyawvalid=bool(gyawvalid[k]))
             else:
                 blh_local = _cpu(earth.global2local, self.origin, gblh[k])
-                gnss = dict(time=float(gtime[k]), blh=blh_local, std=gstd[k].copy())
+                gnss = dict(time=float(gtime[k]), blh=blh_local, std=gstd[k].copy(),
+                            yaw=float(gyaw[k]), isyawvalid=bool(gyawvalid[k]))
 
             if self.state == "INITIALIZING":
                 if last_gnss is not None:
@@ -135,13 +142,17 @@ class GinsModel:
             self._has_zero_velocity = True
             return False
 
-        vel = gnss["blh"] - last_gnss["blh"]
-        if np.linalg.norm(vel) < MINMUM_ALIGN_VELOCITY:
-            return False
-        if not self._has_zero_velocity:
-            self._initatt[0] = 0.0
-            self._initatt[1] = math.atan(-vel[2] / math.hypot(vel[0], vel[1]))
-        self._initatt[2] = math.atan2(vel[1], vel[0])
+        if last_gnss.get("isyawvalid", False):
+            # dual-antenna GNSS heading (ic_gvins.cc:631-633)
+            self._initatt[2] = last_gnss["yaw"]
+        else:
+            vel = gnss["blh"] - last_gnss["blh"]
+            if np.linalg.norm(vel) < MINMUM_ALIGN_VELOCITY:
+                return False
+            if not self._has_zero_velocity:
+                self._initatt[0] = 0.0
+                self._initatt[1] = math.atan(-vel[2] / math.hypot(vel[0], vel[1]))
+            self._initatt[2] = math.atan2(vel[1], vel[0])
 
         q0 = jnp.asarray(_cpu(quat.euler_to_quat, self._initatt))
         p0 = last_gnss["blh"] - _cpu(
@@ -203,6 +214,18 @@ class GinsModel:
     # ------------------------------------------------------------------
 
     def _add_gnss_node(self, stream, gnss):
+        # Long GNSS gaps (outages) can exceed the fixed preintegration segment
+        # capacity; chain intermediate time nodes so every segment stays
+        # bounded. The reference bounds preintegration spans the same way
+        # (MAXIMUM_PREINTEGRATION_LENGTH, ic_gvins.h:134-136 +
+        # ic_gvins.cc:858-862); with fixed shapes the bound is S samples.
+        max_dt = (self.cfg.preint_samples - 2) / self.cfg.imudatarate
+        t0 = float(self.est.times[self.est.n_nodes - 1])
+        while gnss["time"] - t0 > max_dt:
+            t0 += max_dt
+            self.est.add_time_node(t0, stream.series(self.est.times[self.est.n_nodes - 1], t0))
+            if self.est.n_nodes >= self.wcfg.N - 1:
+                self.est.marginalize(1)
         series = stream.series(self.est.times[self.est.n_nodes - 1], gnss["time"])
         self.est.add_time_node(gnss["time"], series)
         self.est.add_gnss(gnss["time"], gnss["blh"], gnss["std"])

@@ -107,3 +107,51 @@ def world2pixel(cam: PinholeCamera, R, t, pw):
 def reprojection_error(cam: PinholeCamera, R, t, pw, px_undistorted):
     """Pixel reprojection error of undistorted observation (camera.cc:153-157)."""
     return world2pixel(cam, R, t, pw) - px_undistorted
+
+
+def pixel2unitcam(cam: PinholeCamera, px):
+    """Pixel -> unit-norm camera ray (camera.cc:135-137)."""
+    pc = pixel2cam(cam, px)
+    return pc / jnp.linalg.norm(pc, axis=-1, keepdims=True)
+
+
+def pixel2world(cam: PinholeCamera, R, t, px):
+    """Pixel -> world-frame point of the z=1 camera ray (camera.cc:139-143)."""
+    return cam2world(R, t, pixel2cam(cam, px))
+
+
+def undistort_rectify_map(cam: PinholeCamera):
+    """(H, W, 2) sampling map: for each undistorted output pixel, the source
+    pixel in the distorted image (the initUndistortRectifyMap table,
+    camera.cc:45). Constant per camera — compute once, close over in jit."""
+    v, u = jnp.meshgrid(
+        jnp.arange(cam.height, dtype=jnp.float32),
+        jnp.arange(cam.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return distort_points(cam, jnp.stack([u, v], axis=-1))
+
+
+def undistort_image(img, src_map):
+    """Bilinear remap of a distorted image onto the undistorted grid with
+    zero border (Camera::undistortImage, camera.cc:119-121). img (H, W),
+    src_map from undistort_rectify_map."""
+    h, w = img.shape
+    x, y = src_map[..., 0], src_map[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        val = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(inside, val, 0.0)
+
+    return (
+        tap(y0i, x0i) * (1 - fx) * (1 - fy)
+        + tap(y0i, x0i + 1) * fx * (1 - fy)
+        + tap(y0i + 1, x0i) * (1 - fx) * fy
+        + tap(y0i + 1, x0i + 1) * fx * fy
+    )

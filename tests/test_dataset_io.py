@@ -61,3 +61,23 @@ def test_gnss(tmp_path):
     g = dataset.load_gnss(str(p))
     np.testing.assert_allclose(g["blh"][0, 0], np.deg2rad(30.5), atol=1e-12)
     np.testing.assert_allclose(g["std"][0], [0.05, 0.05, 0.1], atol=1e-12)
+
+
+def test_gnss_dual_antenna_yaw(tmp_path):
+    p = tmp_path / "gnss_yaw.txt"
+    np.savetxt(
+        p,
+        [
+            [1.0, 30.5, 114.3, 40.0, 0.05, 0.05, 0.1, 95.0, 1.0],
+            [2.0, 30.5, 114.3, 40.0, 0.05, 0.05, 0.1, 0.0, 0.0],
+        ],
+        fmt="%.9f",
+    )
+    g = dataset.load_gnss(str(p))
+    assert bool(g["isyawvalid"][0]) and not bool(g["isyawvalid"][1])
+    np.testing.assert_allclose(g["yaw"][0], np.deg2rad(95.0), atol=1e-12)
+    # 7-column files stay yaw-invalid
+    p2 = tmp_path / "gnss_plain.txt"
+    np.savetxt(p2, [[1.0, 30.5, 114.3, 40.0, 0.05, 0.05, 0.1]], fmt="%.9f")
+    g2 = dataset.load_gnss(str(p2))
+    assert not g2["isyawvalid"].any()

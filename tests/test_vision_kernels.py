@@ -205,3 +205,32 @@ def test_triangulation_exact():
         jnp.asarray(pc0), jnp.asarray(pc1),
     )
     np.testing.assert_allclose(out, pw, atol=1e-8)
+
+
+def test_pixel2unitcam_and_pixel2world():
+    c = kaist_camera()
+    px = jnp.asarray([[300.0, 400.0], [700.0, 600.0]])
+    ray = cam.pixel2unitcam(c, px)
+    np.testing.assert_allclose(np.linalg.norm(ray, axis=-1), 1.0, atol=1e-12)
+    R = jnp.eye(3)
+    t = jnp.asarray([1.0, 2.0, 3.0])
+    pw = cam.pixel2world(c, R, t, px)
+    np.testing.assert_allclose(pw, cam.pixel2cam(c, px) + t, atol=1e-12)
+
+
+def test_undistort_image_inverts_distortion():
+    # render a bright dot at a distorted location; the undistorted image must
+    # show it at the undistorted location (Camera::undistortImage parity)
+    c = cam.PinholeCamera.from_config(
+        [120.0, 120.0, 64.0, 48.0], [-0.25, 0.08, 0.0005, 0.0003], [128, 96]
+    )
+    px_und = jnp.asarray([[40.0, 30.0]])
+    px_dis = np.asarray(cam.distort_points(c, px_und))[0]
+    img = np.zeros((96, 128), np.float32)
+    xi, yi = int(round(px_dis[0])), int(round(px_dis[1]))
+    img[yi - 1 : yi + 2, xi - 1 : xi + 2] = 255.0
+    smap = cam.undistort_rectify_map(c)
+    out = np.asarray(cam.undistort_image(jnp.asarray(img), smap))
+    peak = np.unravel_index(np.argmax(out), out.shape)
+    assert abs(peak[1] - 40.0) <= 1.5 and abs(peak[0] - 30.0) <= 1.5
+    assert out.max() > 50.0
