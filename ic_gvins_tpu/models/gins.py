@@ -213,19 +213,26 @@ class GinsModel:
 
     # ------------------------------------------------------------------
 
-    def _add_gnss_node(self, stream, gnss):
-        # Long GNSS gaps (outages) can exceed the fixed preintegration segment
-        # capacity; chain intermediate time nodes so every segment stays
-        # bounded. The reference bounds preintegration spans the same way
-        # (MAXIMUM_PREINTEGRATION_LENGTH, ic_gvins.h:134-136 +
-        # ic_gvins.cc:858-862); with fixed shapes the bound is S samples.
+    def _chain_time_nodes(self, stream, t_target, shed_capacity=None):
+        """Insert intermediate time nodes so no preintegration segment spans
+        more IMU samples than the fixed capacity. The reference bounds
+        preintegration spans the same way (MAXIMUM_PREINTEGRATION_LENGTH,
+        ic_gvins.h:134-136 + ic_gvins.cc:858-862); with fixed shapes the
+        bound is S samples. ``shed_capacity`` frees node slots when the
+        window fills (defaults to marginalizing the oldest node)."""
+        shed = shed_capacity or (lambda: self.est.marginalize(1))
         max_dt = (self.cfg.preint_samples - 2) / self.cfg.imudatarate
         t0 = float(self.est.times[self.est.n_nodes - 1])
-        while gnss["time"] - t0 > max_dt:
+        while t_target - t0 > max_dt:
             t0 += max_dt
             self.est.add_time_node(t0, stream.series(self.est.times[self.est.n_nodes - 1], t0))
             if self.est.n_nodes >= self.wcfg.N - 1:
-                self.est.marginalize(1)
+                shed()
+
+    def _add_gnss_node(self, stream, gnss):
+        # long GNSS gaps (outages) can exceed the fixed preintegration
+        # segment capacity; chain intermediate nodes to keep segments bounded
+        self._chain_time_nodes(stream, gnss["time"])
         series = stream.series(self.est.times[self.est.n_nodes - 1], gnss["time"])
         self.est.add_time_node(gnss["time"], series)
         self.est.add_gnss(gnss["time"], gnss["blh"], gnss["std"])

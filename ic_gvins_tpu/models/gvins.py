@@ -233,6 +233,10 @@ class GvinsModel(GinsModel):
                 frame.set_keyframe(KEYFRAME_NORMAL)
             self.vmap.insert_keyframe(frame)
             self._ensure_node_capacity()
+            # vision blackouts can leave keyframe gaps longer than the fixed
+            # preintegration segment capacity — chain intermediate nodes
+            self._chain_time_nodes(stream, frame.stamp,
+                                   shed_capacity=self._ensure_node_capacity)
             series = stream.series(self.est.times[self.est.n_nodes - 1], frame.stamp)
             self.est.add_time_node(frame.stamp, series)
         self._merge_unused_nodes()

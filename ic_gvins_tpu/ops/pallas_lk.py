@@ -1,19 +1,25 @@
 """Pallas TPU kernel for one pyramidal-LK level over a feature batch.
 
 The LK inner loop is the hottest op in the replay pipeline (2 tracker calls
-x fwd/bwd x 4 levels x 30 iterations per frame). The XLA fallback
+x fwd/bwd x 4 levels x up-to-30 iterations per frame). The XLA fallback
 (vision/lk.py) re-gathers a 22x22 patch from the full HBM image on every
 iteration; this kernel instead DMAs ONE (64,256) neighbourhood per feature
-into VMEM and runs all 30 iterations on-chip:
+into VMEM and runs all iterations on-chip:
 
   - block corners are tile-aligned ((8,128) HBM tiling) and arrive via
     scalar prefetch so the DMAs issue before the body
-  - alignment of a float position onto the block center uses two dynamic
-    rolls (integer part, mosaic dynamic_rotate) + a 4-shift bilinear blend
-    (fraction) — dense VPU ops only, no gathers
+  - DMAs are double-buffered across grid programs: program f issues the
+    fetch for feature f+1 before computing on feature f, hiding HBM latency
+  - alignment of a float position onto the window center uses two dynamic
+    rolls of the full block (integer part, mosaic dynamic_rotate), then a
+    STATIC lane-aligned crop to (32,128), then a 4-shift bilinear blend
+    (fraction) on the crop — per-iteration vector work is 4x smaller than
+    operating on the full block, and everything stays gather-free
   - template gradients and the 2x2 normal matrix are computed once under a
-    static 21x21 mask; each of the 30 iterations is a handful of masked
-    reductions and a 2x2 solve
+    static 21x21 mask; each iteration is a handful of masked reductions and
+    a 2x2 solve, with per-feature early exit (lax.while_loop) once the step
+    drops below EPS — cv::calcOpticalFlowPyrLK's termination criteria
+    (tracking.cc:387-388)
 
 Grid: one program per feature.
 """
@@ -27,8 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN_HALF = 10           # 21x21 window (tracking.cc:386)
 BLK_R, BLK_C = 64, 256  # VMEM neighbourhood block (rows, lanes)
-CY, CX = 32, 128        # alignment target center inside the block
-ROW_OFF, COL_OFF = 28, 96  # corner offsets before tile alignment
+CY, CX = 32, 64         # alignment target center inside the block
+ROW_OFF, COL_OFF = 28, 32  # corner offsets before tile alignment
+CROP_R0, CROP_C0 = 16, 0   # static crop origin (sublane/lane aligned)
+CROP_R, CROP_C = 32, 128   # per-iteration working window
+CCY, CCX = CY - CROP_R0, CX - CROP_C0  # center within the crop (16, 64)
 MAX_ITERS = 30
 EPS = 0.01
 MIN_EIG_THRESHOLD = 1e-4
@@ -46,13 +55,18 @@ def _roll(block, shift, axis):
         return jnp.roll(block, shift, axis)
 
 
-def _align(block, ly, lx):
-    """Roll+blend so that float position (ly, lx) lands exactly on (CY, CX)."""
+def _align_crop(block, ly, lx):
+    """Roll the full block so the integer part of (ly, lx) lands on
+    (CY, CX), statically crop to (CROP_R, CROP_C), then blend the (shared)
+    fractional offset with three more unit shifts on the crop. Wrap
+    artifacts live on the crop's last row/column, outside the masked
+    window."""
     di_y = jnp.floor(ly).astype(jnp.int32) - CY
     di_x = jnp.floor(lx).astype(jnp.int32) - CX
     fy = (ly - jnp.floor(ly)).astype(block.dtype)
     fx = (lx - jnp.floor(lx)).astype(block.dtype)
-    a = _roll(_roll(block, -di_y, 0), -di_x, 1)
+    full = _roll(_roll(block, -di_y, 0), -di_x, 1)
+    a = full[CROP_R0 : CROP_R0 + CROP_R, CROP_C0 : CROP_C0 + CROP_C]
     b = _roll(a, -1, 1)
     c = _roll(a, -1, 0)
     d = _roll(c, -1, 1)
@@ -60,13 +74,30 @@ def _align(block, ly, lx):
 
 
 def _window_mask(dtype):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BLK_R, BLK_C), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BLK_R, BLK_C), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CROP_R, CROP_C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CROP_R, CROP_C), 1)
     m = (
-        (rows >= CY - WIN_HALF) & (rows <= CY + WIN_HALF)
-        & (cols >= CX - WIN_HALF) & (cols <= CX + WIN_HALF)
+        (rows >= CCY - WIN_HALF) & (rows <= CCY + WIN_HALF)
+        & (cols >= CCX - WIN_HALF) & (cols <= CCX + WIN_HALF)
     )
     return m.astype(dtype)
+
+
+def _issue_copies(corners_ref, img_prev_ref, img_next_ref,
+                  prev_blk, next_blk, sem, feat_idx, slot):
+    py0 = pl.multiple_of(corners_ref[0, feat_idx], 8)
+    px0 = pl.multiple_of(corners_ref[1, feat_idx], 128)
+    ny0 = pl.multiple_of(corners_ref[2, feat_idx], 8)
+    nx0 = pl.multiple_of(corners_ref[3, feat_idx], 128)
+    cp_prev = pltpu.make_async_copy(
+        img_prev_ref.at[pl.ds(py0, BLK_R), pl.ds(px0, BLK_C)],
+        prev_blk.at[slot], sem.at[jnp.int32(0), slot],
+    )
+    cp_next = pltpu.make_async_copy(
+        img_next_ref.at[pl.ds(ny0, BLK_R), pl.ds(nx0, BLK_C)],
+        next_blk.at[slot], sem.at[jnp.int32(1), slot],
+    )
+    return cp_prev, cp_next
 
 
 def _kernel(corners_ref, feat_ref,
@@ -77,22 +108,33 @@ def _kernel(corners_ref, feat_ref,
     # [ppx, ppy, gx0, gy0, valid, ...] — transposed layout keeps the SMEM
     # footprint at KBs (an (N,2) SMEM array is padded to 128 lanes per row)
     f = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(f, jnp.int32(2))
+
+    # double-buffered pipeline: program 0 fetches itself, every program
+    # prefetches its successor, every program waits only on its own slot
+    @pl.when(f == 0)
+    def _():
+        a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
+                             prev_blk, next_blk, sem, jnp.int32(0), jnp.int32(0))
+        a.start()
+        b.start()
+
+    @pl.when(f + 1 < n)
+    def _():
+        a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
+                             prev_blk, next_blk, sem,
+                             f + 1, jax.lax.rem(f + 1, jnp.int32(2)))
+        a.start()
+        b.start()
+
+    cp_prev, cp_next = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
+                                     prev_blk, next_blk, sem, f, slot)
 
     py0 = pl.multiple_of(corners_ref[0, f], 8)
     px0 = pl.multiple_of(corners_ref[1, f], 128)
     ny0 = pl.multiple_of(corners_ref[2, f], 8)
     nx0 = pl.multiple_of(corners_ref[3, f], 128)
-
-    cp_prev = pltpu.make_async_copy(
-        img_prev_ref.at[pl.ds(py0, BLK_R), pl.ds(px0, BLK_C)], prev_blk,
-        sem.at[jnp.int32(0)],
-    )
-    cp_next = pltpu.make_async_copy(
-        img_next_ref.at[pl.ds(ny0, BLK_R), pl.ds(nx0, BLK_C)], next_blk,
-        sem.at[jnp.int32(1)],
-    )
-    cp_prev.start()
-    cp_next.start()
 
     ppx = feat_ref[0, f]
     ppy = feat_ref[1, f]
@@ -105,10 +147,10 @@ def _kernel(corners_ref, feat_ref,
 
     mask = _window_mask(jnp.float32)
 
-    tpl_blk = _align(prev_blk[:, :], ppy - py0.astype(jnp.float32),
-                     ppx - px0.astype(jnp.float32))
-    gx = 0.5 * (_roll(tpl_blk, -1, 1) - _roll(tpl_blk, 1, 1))
-    gy = 0.5 * (_roll(tpl_blk, -1, 0) - _roll(tpl_blk, 1, 0))
+    tpl = _align_crop(prev_blk[slot], ppy - py0.astype(jnp.float32),
+                      ppx - px0.astype(jnp.float32))
+    gx = 0.5 * (_roll(tpl, -1, 1) - _roll(tpl, 1, 1))
+    gy = 0.5 * (_roll(tpl, -1, 0) - _roll(tpl, 1, 0))
     gx = gx * mask
     gy = gy * mask
     gxx = jnp.sum(gx * gx)
@@ -120,25 +162,31 @@ def _kernel(corners_ref, feat_ref,
     ok = (min_eig > MIN_EIG_THRESHOLD) & (jnp.abs(det) > 1e-12) & (v > 0)
     inv_det = jnp.where(jnp.abs(det) > jnp.float32(1e-12), jnp.float32(1.0) / det, jnp.float32(0.0))
 
-    nb = next_blk[:, :]
+    nb = next_blk[slot]
     ny0f = ny0.astype(jnp.float32)
     nx0f = nx0.astype(jnp.float32)
 
-    def body(_, g):
-        gx_cur, gy_cur = g
-        cur = _align(nb, gy_cur - ny0f, gx_cur - nx0f)
-        diff = (cur - tpl_blk) * mask
+    def cond(carry):
+        i, _, _, active = carry
+        return (i < MAX_ITERS) & active
+
+    def body(carry):
+        i, gx_cur, gy_cur, _ = carry
+        cur = _align_crop(nb, gy_cur - ny0f, gx_cur - nx0f)
+        diff = (cur - tpl) * mask
         bx = jnp.sum(diff * gx)
         by = jnp.sum(diff * gy)
         dx = -(gyy * bx - gxy * by) * inv_det
         dy = -(gxx * by - gxy * bx) * inv_det
-        step_ok = (jnp.sqrt(dx * dx + dy * dy) >= jnp.float32(EPS)) & ok
         # f32 constants: python floats are weak f64 under x64 and mosaic has
         # no f64 select
-        s = jnp.where(step_ok, jnp.float32(1.0), jnp.float32(0.0))
-        return (gx_cur + dx * s, gy_cur + dy * s)
+        keep_going = jnp.sqrt(dx * dx + dy * dy) >= jnp.float32(EPS)
+        return (i + 1, gx_cur + dx, gy_cur + dy, keep_going)
 
-    gx_f, gy_f = jax.lax.fori_loop(0, MAX_ITERS, body, (gx0, gy0))
+    _, gx_f, gy_f, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), gx0, gy0, ok))
+    gx_f = jnp.where(ok, gx_f, gx0)
+    gy_f = jnp.where(ok, gy_f, gy0)
 
     # fail tracks whose 21x21 window would wrap around the block edges
     ly = gy_f - ny0f
@@ -205,9 +253,9 @@ def lk_level_pallas(img_prev, img_next, pts_prev, pts_guess, valid, interpret=Fa
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BLK_R, BLK_C), jnp.float32),
-            pltpu.VMEM((BLK_R, BLK_C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, BLK_R, BLK_C), jnp.float32),
+            pltpu.VMEM((2, BLK_R, BLK_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 

@@ -60,9 +60,9 @@ def occupancy_mask(points_xy, valid, shape, radius):
     yi = jnp.clip(points_xy[:, 1].astype(jnp.int32), 0, H - 1)
     occ = occ.at[yi, xi].max(valid.astype(jnp.float32))
     k = int(2 * radius + 1)
-    occ = jax.lax.reduce_window(
-        occ, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
-    )
+    # max is separable: two 1-D window passes instead of one kxk pass
+    occ = jax.lax.reduce_window(occ, -jnp.inf, jax.lax.max, (k, 1), (1, 1), "SAME")
+    occ = jax.lax.reduce_window(occ, -jnp.inf, jax.lax.max, (1, k), (1, 1), "SAME")
     return 1.0 - jnp.maximum(occ, 0.0)
 
 
@@ -95,9 +95,10 @@ def detect_blockwise(
 
     resp = min_eig_response(img)
 
-    # NMS: strict local maxima within the min-distance window
+    # NMS: strict local maxima within the min-distance window (separable max)
     k = int(min_distance) | 1
-    dil = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+    dil = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max, (k, 1), (1, 1), "SAME")
+    dil = jax.lax.reduce_window(dil, -jnp.inf, jax.lax.max, (1, k), (1, 1), "SAME")
     is_max = (resp >= dil) & (resp > 0)
 
     # border suppression: global image border + inter-block seams (the

@@ -59,7 +59,8 @@ def _track_level(img_prev, img_next, pts_prev, pts_next, valid):
 
         inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
 
-        def body(_, pos):
+        def body(_, carry):
+            pos, active = carry
             cur = extract_patch(img_next, pos, WIN_HALF)
             diff = cur - tpl
             bx = jnp.sum(diff * gx)
@@ -67,11 +68,12 @@ def _track_level(img_prev, img_next, pts_prev, pts_next, valid):
             dx = -(gyy * bx - gxy * by) * inv_det
             dy = -(gxx * by - gxy * bx) * inv_det
             step = jnp.stack([dx, dy])
-            # converged features take zero steps
-            step = jnp.where(jnp.linalg.norm(step) < EPS, jnp.zeros_like(step), step)
-            return pos + step * ok
+            # cv semantics: apply the step, THEN stop once it fell below EPS
+            pos = pos + step * (active & ok)
+            active = active & (jnp.linalg.norm(step) >= EPS)
+            return pos, active
 
-        out = jax.lax.fori_loop(0, MAX_ITERS, body, pn)
+        out, _ = jax.lax.fori_loop(0, MAX_ITERS, body, (pn, jnp.bool_(True)))
         return out, ok
 
     out, ok = jax.vmap(one)(pts_prev, pts_next, valid)

@@ -75,3 +75,75 @@ def test_output_files(gins_run):
     assert len(raw) % 8 == 0 and len(raw) > 0
     # nav latitude deg near origin
     assert abs(nav[0, 2] - 30.5) < 0.01
+
+
+def test_long_gnss_gap_chains_nodes():
+    """A GNSS gap longer than the fixed preintegration segment capacity must
+    chain intermediate time nodes (the reference bounds preintegration spans
+    via MAXIMUM_PREINTEGRATION_LENGTH, ic_gvins.h:134-136) and keep the
+    estimate healthy once fixes resume."""
+    imu_data, gnss_data, truth = make_gins_dataset()
+    cfg = parse_config(
+        dict(
+            initlength=3,
+            imudatarate=200,
+            iswithearth=False,
+            antlever=list(truth["lever"]),
+            imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
+            gnssthreshold=20,
+            optimize_windows_size=10,
+        )
+    )
+    # drop fixes in (8 s, 16 s): an 8 s gap = 1600 samples > 512-slot segment
+    g = {k: np.array(v, copy=True) for k, v in gnss_data.items()}
+    keep = ~((g["time"] > 8.0) & (g["time"] < 16.0))
+    g = {k: v[keep] for k, v in g.items()}
+
+    model = GinsModel(cfg)
+    traj = model.run(imu_data, g)
+    assert model.state == "INITIALIZING_INS"
+
+    rate, offset = 200.0, truth["gnss_local"][0]
+    errs = []
+    for row in traj:
+        t, p = row[0], row[1:4]
+        i = int(round(t * rate)) - 1
+        if t > 17.0 and 0 <= i < len(truth["p"]):
+            errs.append(np.linalg.norm(p + offset - truth["p"][i]))
+    errs = np.asarray(errs)
+    assert len(errs) >= 4
+    # after re-acquisition the solution recovers to GNSS-noise level
+    assert errs[-4:].mean() < 0.15, f"post-outage err {errs[-4:].mean():.3f} m"
+
+
+def test_dual_antenna_yaw_initialization():
+    """With isyawvalid set, the init heading comes from the GNSS yaw field
+    (ic_gvins.cc:631-633), not from the velocity direction."""
+    imu_data, gnss_data, truth = make_gins_dataset()
+    cfg = parse_config(
+        dict(
+            initlength=3,
+            imudatarate=200,
+            iswithearth=False,
+            antlever=list(truth["lever"]),
+            imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
+            gnssthreshold=20,
+            optimize_windows_size=10,
+        )
+    )
+    g = {k: np.array(v, copy=True) for k, v in gnss_data.items()}
+    n = len(g["time"])
+    yaw_injected = 0.17
+    g["yaw"] = np.full(n, yaw_injected)
+    g["isyawvalid"] = np.ones(n, bool)
+
+    model = GinsModel(cfg)
+    model.run(imu_data, g)
+    assert model.est is not None, "did not initialize"
+    assert abs(model._initatt[2] - yaw_injected) < 1e-12
+
+    # control: without the yaw columns the heading comes from velocity
+    model2 = GinsModel(cfg)
+    model2.run(imu_data, gnss_data)
+    assert model2.est is not None
+    assert abs(model2._initatt[2] - yaw_injected) > 0.01

@@ -234,3 +234,40 @@ def test_undistort_image_inverts_distortion():
     peak = np.unravel_index(np.argmax(out), out.shape)
     assert abs(peak[1] - 40.0) <= 1.5 and abs(peak[0] - 30.0) <= 1.5
     assert out.max() > 50.0
+
+
+def test_clahe_matches_gather_formulation():
+    """The MXU one-hot LUT application must equal the direct per-pixel
+    LUT-gather + 4-tap blend to within the reference's uint8 rounding."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (96, 130)).astype(np.float32)
+    out = np.asarray(pyramid.clahe(jnp.asarray(img), tile=6))
+
+    # direct formulation (what cv::CLAHE computes, float)
+    H, W = img.shape
+    ty = tx = 6
+    th, tw = -(-H // ty), -(-W // tx)
+    Hp, Wp = th * ty, tw * tx
+    padded = np.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
+    tiles = padded.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(ty * tx, th * tw)
+    idx = np.clip(tiles.astype(np.int32), 0, 255)
+    hist = np.zeros((ty * tx, 256), np.float32)
+    for t in range(ty * tx):
+        np.add.at(hist[t], idx[t], 1.0)
+    limit = max(3.0 * th * tw / 256, 1.0)
+    excess = np.maximum(hist - limit, 0).sum(1, keepdims=True)
+    hist = np.minimum(hist, limit) + excess / 256
+    cdf = np.cumsum(hist, 1)
+    lut = (cdf - cdf[:, :1]) / np.maximum(cdf[:, -1:] - cdf[:, :1], 1.0) * 255.0
+    lut = lut.reshape(ty, tx, 256)
+    yy, xx = np.arange(H), np.arange(W)
+    tyf = np.clip((yy - th / 2 + 0.5) / th, 0, ty - 1.000001)
+    txf = np.clip((xx - tw / 2 + 0.5) / tw, 0, tx - 1.000001)
+    y0 = np.floor(tyf).astype(int); x0 = np.floor(txf).astype(int)
+    fy = (tyf - y0)[:, None]; fx = (txf - x0)[None, :]
+    y1 = np.minimum(y0 + 1, ty - 1); x1 = np.minimum(x0 + 1, tx - 1)
+    v = np.clip(img.astype(int), 0, 255)
+    g = lambda yi, xi: lut[yi[:, None], xi[None, :], v]
+    want = (g(y0, x0) * (1 - fy) * (1 - fx) + g(y0, x1) * (1 - fy) * fx
+            + g(y1, x0) * fy * (1 - fx) + g(y1, x1) * fy * fx)
+    assert np.abs(out - want).max() < 0.75
