@@ -2,9 +2,12 @@
 
 Parity target: MarginalizationInfo (factors/marginalization_info.h:73-253):
 evaluate the factors touching the marginalized parameters, assemble H/b,
-Schur-eliminate the marginalized block with an eigen pseudo-inverse
-(EPS = 1e-8), and sqrt-factorize the reduced system into a linearized prior
-(J0, e0) replayed as e = e0 + J0 (x ⊟ x0).
+Schur-eliminate the marginalized block with an eigen pseudo-inverse, and
+sqrt-factorize the reduced system into a linearized prior (J0, e0) replayed
+as e = e0 + J0 (x ⊟ x0). Unlike the reference's absolute 1e-8 eigenvalue
+cut, both eigendecompositions run on Jacobi-equilibrated matrices with a
+RELATIVE cut — see _equilibrated_eigh for why the absolute cut is unstable
+at preintegration information scales.
 
 TPU-native design: instead of the reference's pointer-keyed index maps and
 marg-first reordering, everything stays in the FULL fixed window layout (D
@@ -34,7 +37,30 @@ from ..solver.problem import (
     build_normal_equations,
 )
 
-EPS = 1e-8
+EPS = 1e-10  # RELATIVE eigenvalue cut on the Jacobi-equilibrated matrices
+
+
+def _equilibrated_eigh(A):
+    """eigh of D^{-1/2} A D^{-1/2} with D = clip(diag(A)).
+
+    The reference thresholds raw eigenvalues at an ABSOLUTE 1e-8
+    (marginalization_info.h:180-187). With whitened preintegration info the
+    Hessian reaches ~1e9, so eigh's rounding junk on exact-null (gauge /
+    untouched-parameter) directions lands anywhere up to ~1e-6 — randomly
+    above or below an absolute cut. Junk directions that survive get
+    1/sqrt(s) amplification in e0, inflating the prior's constant cost by
+    orders of magnitude, which wrecks LM's relative convergence test and
+    turns run outcomes chaotic. Equilibrating first collapses the scale
+    spread: real information maps to O(1) eigenvalues, junk stays at
+    ~D*eps_f64 ~ 1e-13, and a relative cut separates them cleanly.
+
+    Returns (w, V, d) with A = d[:,None]*d[None,:] * (V w V^T)."""
+    dg = jnp.diag(A)
+    dmax = jnp.maximum(jnp.max(dg), 1e-300)
+    d = jnp.sqrt(jnp.clip(dg, dmax * 1e-30, None))
+    An = A / (d[:, None] * d[None, :])
+    w, V = jnp.linalg.eigh(0.5 * (An + An.T))
+    return w, V, d
 
 
 def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg: WindowConfig):
@@ -62,22 +88,25 @@ def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg:
     bm = b * m
     br = b * r
 
-    # eigen pseudo-inverse of the marginalized block (marginalization_info.h:180-187)
-    Hmm = 0.5 * (Hmm + Hmm.T)
-    w, V = jnp.linalg.eigh(Hmm)
-    w_inv = jnp.where(w > EPS, 1.0 / jnp.where(w > EPS, w, 1.0), 0.0)
-    Hmm_inv = (V * w_inv[None, :]) @ V.T
+    # eigen pseudo-inverse of the marginalized block
+    # (marginalization_info.h:180-187, equilibrated — see _equilibrated_eigh)
+    w, V, dm = _equilibrated_eigh(Hmm)
+    keep = w > EPS * jnp.maximum(w[-1], 1.0)
+    w_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    Hmm_inv = ((V * w_inv[None, :]) @ V.T) / (dm[:, None] * dm[None, :])
 
     Hp = Hrr - Hrm @ Hmm_inv @ Hrm.T
     bp = br - Hrm @ (Hmm_inv @ bm)
 
-    # sqrt factorization (marginalization_info.h:153-167)
-    Hp = 0.5 * (Hp + Hp.T)
-    s, U = jnp.linalg.eigh(Hp)
-    s_clamped = jnp.where(s > EPS, s, 0.0)
-    s_inv = jnp.where(s > EPS, 1.0 / jnp.where(s > EPS, s, 1.0), 0.0)
-    J0 = jnp.sqrt(s_clamped)[:, None] * U.T
-    e0 = -(jnp.sqrt(s_inv)[:, None] * U.T) @ bp
+    # sqrt factorization (marginalization_info.h:153-167, equilibrated:
+    # Hp = Dp^1/2 (U s U^T) Dp^1/2  =>  J0 = sqrt(s) U^T Dp^1/2 and
+    # e0 = -sqrt(s)^-1 U^T Dp^-1/2 bp, so H0 = J0^T J0 and J0^T e0 = -P bp)
+    w, U, dp = _equilibrated_eigh(Hp)
+    keep = w > EPS * jnp.maximum(w[-1], 1.0)
+    s_clamped = jnp.where(keep, w, 0.0)
+    s_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    J0 = jnp.sqrt(s_clamped)[:, None] * (U.T * dp[None, :])
+    e0 = -(jnp.sqrt(s_inv)[:, None] * U.T) @ (bp / dp)
 
     H0 = J0.T @ J0
     Jte0 = J0.T @ e0

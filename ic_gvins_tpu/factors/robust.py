@@ -34,6 +34,24 @@ def corrector_scales(s, drho, ddrho):
     return residual_scaling, alpha_sq_norm, sqrt_rho1
 
 
+def correct_blocks(r, J, use_kernel, delta=1.0):
+    """Batched Triggs corrector over a factor table: r (B, R), J (B, R, C).
+
+    Pure broadcast arithmetic — the per-block form under vmap emits tiny
+    batched matvecs/outers that XLA:TPU pads onto MXU tiles (orders of
+    magnitude slower than the VPU broadcast form)."""
+    s = jnp.sum(r * r, axis=-1)
+    _, drho, ddrho = huber_rho(s, delta)
+    scale_r, alpha_sq, sqrt_rho1 = corrector_scales(s, drho, ddrho)
+    rJ = jnp.sum(r[..., :, None] * J, axis=-2)                       # (B, C)
+    J_corr = sqrt_rho1[:, None, None] * (
+        J - alpha_sq[:, None, None] * (r[..., :, None] * rJ[..., None, :])
+    )
+    r_corr = scale_r[:, None] * r
+    use = jnp.asarray(use_kernel, r.dtype)
+    return use * r_corr + (1 - use) * r, use * J_corr + (1 - use) * J
+
+
 def correct_block(r, J, use_kernel, delta=1.0):
     """Apply the Huber corrector to one whitened residual block.
 

@@ -23,8 +23,9 @@ from .problem import (
     FactorTables,
     WindowConfig,
     WindowParams,
-    apply_gauge,
-    build_normal_equations,
+    apply_gauge_blocks,
+    block_matvec,
+    build_normal_blocks,
     chi2_blocks,
     total_cost,
 )
@@ -40,27 +41,46 @@ class SolveStats(NamedTuple):
     final_cost: jnp.ndarray
 
 
-def _schur_solve(H, b, mu_diag, cfg: WindowConfig):
-    """Solve (H + diag(mu_diag)) dx = b by eliminating the landmark block.
+def _schur_solve(Hss, Hsl, hll, b, mu_diag, cfg: WindowConfig):
+    """Solve (H + diag(mu_diag)) dx = b by eliminating the landmark block
+    (diagonal by construction), on the block form of H.
 
-    The landmark-landmark block of H is diagonal by construction."""
+    Mixed precision: f64 matmuls are software-emulated on TPU (no f64 MXU)
+    and dominated the whole backend, so the damped system is Jacobi-
+    equilibrated (unit diagonal — condition number collapses, and the
+    landmark block becomes exactly the identity), reduced and Cholesky-
+    factorized in f32 on the MXU, then ONE f64 iterative-refinement pass
+    (a pair of f64 GEMVs) restores double-precision step accuracy."""
     Ds = cfg.lm_off
-    Hd = H + jnp.diag(mu_diag)
-    Hss = Hd[:Ds, :Ds]
-    Hsl = Hd[:Ds, Ds:]
-    hll = jnp.diag(Hd)[Ds:]
-    bs, bl = b[:Ds], b[Ds:]
+    Hss = Hss + jnp.diag(mu_diag[:Ds])
+    hll = hll + mu_diag[Ds:]
+    dscale = jnp.sqrt(jnp.clip(jnp.concatenate([jnp.diag(Hss), hll]), 1e-12, None))
+    dinv = 1.0 / dscale
+    dS, dL = dinv[:Ds], dinv[Ds:]
+    Hssn = Hss * (dS[:, None] * dS[None, :])
+    Hsln = Hsl * (dS[:, None] * dL[None, :])
+    bn = b * dinv
 
-    hll_inv = 1.0 / jnp.maximum(hll, 1e-12)
-    Hred = Hss - (Hsl * hll_inv[None, :]) @ Hsl.T
-    bred = bs - Hsl @ (hll_inv * bl)
+    H32ss = Hssn.astype(jnp.float32)
+    H32sl = Hsln.astype(jnp.float32)
+    L = jnp.linalg.cholesky(
+        (H32ss - H32sl @ H32sl.T) + jnp.float32(1e-6) * jnp.eye(Ds, dtype=jnp.float32)
+    )
 
-    # dense cholesky with jitter fallback
-    L = jnp.linalg.cholesky(Hred + 1e-12 * jnp.eye(Ds))
-    dxs = jax.scipy.linalg.cho_solve((L, True), bred)
-    dxs = jnp.where(jnp.all(jnp.isfinite(dxs)), dxs, jnp.zeros_like(dxs))
-    dxl = hll_inv * (bl - Hsl.T @ dxs)
-    return jnp.concatenate([dxs, dxl])
+    def inner(r):
+        rs = r[:Ds].astype(jnp.float32)
+        rl = r[Ds:].astype(jnp.float32)
+        ys = jax.scipy.linalg.cho_solve((L, True), rs - H32sl @ rl)
+        yl = rl - H32sl.T @ ys
+        return jnp.concatenate([ys, yl]).astype(jnp.float64)
+
+    y = inner(bn)
+    # refinement: f64 block residual (landmark diag is identity), f32 re-solve
+    ys, yl = y[:Ds], y[Ds:]
+    resid = bn - jnp.concatenate([Hssn @ ys + Hsln @ yl, Hsln.T @ ys + yl])
+    y = y + inner(resid)
+    dx = dinv * y
+    return jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
 
 
 def solve(params: WindowParams, tables: FactorTables, cfg: WindowConfig, max_iterations: int,
@@ -77,17 +97,17 @@ def solve(params: WindowParams, tables: FactorTables, cfg: WindowConfig, max_ite
 
     def body(carry):
         it, accepted, params, cost, radius, done = carry
-        H, b, act = build_normal_equations(params, tables, cfg)
-        H, b = apply_gauge(H, b, act)
+        Hss, Hsl, hll, b, act = build_normal_blocks(params, tables, cfg)
+        Hss, Hsl, hll, b = apply_gauge_blocks(Hss, Hsl, hll, b, act, cfg)
         # Ceres: damping with the scaled diagonal, clamped
-        diagH = jnp.clip(jnp.diag(H), 1e-6, 1e32)
+        diagH = jnp.clip(jnp.concatenate([jnp.diag(Hss), hll]), 1e-6, 1e32)
         mu = 1.0 / radius
-        dx = _schur_solve(H, b, mu * diagH, cfg)
+        dx = _schur_solve(Hss, Hsl, hll, b, mu * diagH, cfg)
         dx = dx * act
 
         candidate = params.boxplus(cfg, dx)
         new_cost = total_cost(candidate, tables, cfg)
-        model_change = jnp.dot(dx, b) - 0.5 * jnp.dot(dx, H @ dx)
+        model_change = jnp.dot(dx, b) - 0.5 * jnp.dot(dx, block_matvec(Hss, Hsl, hll, dx, cfg))
         rho = (cost - new_cost) / jnp.where(model_change > 0, model_change, 1e-300)
 
         ok = (rho > 1e-3) & (model_change > 0) & jnp.isfinite(new_cost)

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core import quaternion as quat
 from ..factors import basic, preint_factor, reprojection
-from ..factors.robust import correct_block, huber_rho
+from ..factors.robust import correct_block, correct_blocks, huber_rho
 from ..ins.preintegration import PreintSummary
 
 NODE_DIM = 15
@@ -329,6 +329,78 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig):
 # ---------------------------------------------------------------------------
 
 
+def _so3_jr_inv(rv):
+    """Inverse right Jacobian of the SO(3) exponential at rotation vector rv:
+    d/dδ log(exp(rv)·exp(δ)) |_{δ=0} = Jr(rv)^{-1}
+                              = I + ½[rv]× + c·[rv]×²,
+    c = 1/θ² − (1+cosθ)/(2θ·sinθ), Taylor 1/12 + θ²/720 for small θ."""
+    th2 = jnp.sum(rv * rv, axis=-1)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-300))
+    K = quat.skew(rv)
+    small = th2 < 1e-8
+    th2s = jnp.where(small, 1.0, th2)  # avoid 0/0 in the dead branch
+    c = jnp.where(
+        small,
+        1.0 / 12.0 + th2 / 720.0,
+        1.0 / th2s - (1.0 + jnp.cos(th)) / jnp.maximum(2.0 * th * jnp.sin(th), 1e-300),
+    )
+    return jnp.eye(3) + 0.5 * K + c[..., None, None] * (K @ K)
+
+
+def _marg_rot_correction(dx0, cfg: WindowConfig):
+    """Tangent-map correction for the marginalization prior.
+
+    The prior cost is 0.5‖e0 + J0·(x ⊟ x0)‖²; its exact derivative wrt the
+    local step δ chains through D = ∂(boxminus)/∂δ, which is identity except
+    a 3×3 Jr⁻¹(δθ) block on every rotation tangent (nodes + extrinsic).
+    Dropping D (as the reference's MarginalizationFactor does,
+    marginalization_factor.h:47-101) makes the assembled gradient disagree
+    with the true cost by O(|J0ᵀr|·|δθ|) — with preintegration-scale sqrt
+    info in J0 that error exceeds the true gradient near convergence and
+    stalls LM at a non-optimum.  Returns (rc (N+1,3) int32 rotation column
+    indices, C (N+1,3,3) Jr⁻¹ blocks)."""
+    node_rc = (jnp.arange(cfg.N, dtype=jnp.int32) * NODE_DIM)[:, None] + jnp.asarray(
+        [3, 4, 5], jnp.int32)[None, :]
+    ext_rc = cfg.ext_off + jnp.asarray([[3, 4, 5]], jnp.int32)
+    rc = jnp.concatenate([node_rc, ext_rc], axis=0)  # (N+1, 3)
+    C = _so3_jr_inv(dx0[rc])                         # (N+1, 3, 3)
+    return rc, C
+
+
+def _dx_cols(M, rc, C):
+    """M @ D — rescale rotation columns: M[:, rc[k]] ← M[:, rc[k]] @ C[k]."""
+    new = jnp.einsum("dni,nij->dnj", M[:, rc], C)
+    return M.at[:, rc].set(new)
+
+
+def _dxT_rows(M, rc, C):
+    """Dᵀ @ M — rescale rotation rows: M[rc[k], :] ← C[k]ᵀ @ M[rc[k], :]."""
+    new = jnp.einsum("nij,nid->njd", C, M[rc, :])
+    return M.at[rc, :].set(new)
+
+
+def _dxT_vec(v, rc, C):
+    """Dᵀ @ v on a (D,) vector."""
+    new = jnp.einsum("nij,ni->nj", C, v[rc])
+    return v.at[rc].set(new)
+
+
+def _jtj(Ja, Jb, w=None):
+    """sum_c Ja[:,c,:] x Jb[:,c,:] -> (B, i, j), optionally weighted.
+
+    Broadcast form on purpose: the einsum 'bci,bcj->bij' lowers as B tiny
+    batched matmuls that XLA:TPU pads onto (128,128) MXU tiles — orders of
+    magnitude slower than this fused VPU multiply-reduce."""
+    P = jnp.sum(Ja[:, :, :, None] * Jb[:, :, None, :], axis=1)
+    return P if w is None else P * w[:, None, None]
+
+
+def _jtr(J, r, w=None):
+    """sum_c J[:,c,:] * r[:,c] -> (B, i), optionally weighted (see _jtj)."""
+    P = jnp.sum(J * r[..., None], axis=1)
+    return P if w is None else P * w[:, None]
+
+
 def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     """Assemble H (D,D), b (D,) = -J^T r with robust correction and masks.
 
@@ -343,11 +415,11 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     poses = params.poses[t.idx]
     rg = jax.vmap(basic.gnss_residual, in_axes=(0, 0, 0, None))(poses, t.blh, t.std, tables.antlever)
     Jg = jax.vmap(basic.gnss_jacobian, in_axes=(0, 0, None))(poses, t.std, tables.antlever)
-    rg, Jg = jax.vmap(correct_block, in_axes=(0, 0, None))(rg, Jg, t.robust > 0)
+    rg, Jg = correct_blocks(rg, Jg, t.robust > 0)
     w = t.valid
     cols = (t.idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]  # (G,6)
-    JtJ = jnp.einsum("gri,grj,g->gij", Jg, Jg, w)
-    Jtr = jnp.einsum("gri,gr,g->gi", Jg, rg, w)
+    JtJ = _jtj(Jg, Jg, w)
+    Jtr = _jtr(Jg, rg, w)
     H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
     b = b.at[cols].add(-Jtr)
 
@@ -364,8 +436,8 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)  # (P,15,30)
     w = t.valid
     cols = (t.idx0 * NODE_DIM)[:, None] + jnp.arange(2 * NODE_DIM, dtype=jnp.int32)[None, :]  # (P,30)
-    JtJ = jnp.einsum("pri,prj,p->pij", Jcat, Jcat, w)
-    Jtr = jnp.einsum("pri,pr,p->pi", Jcat, rp, w)
+    JtJ = _jtj(Jcat, Jcat, w)
+    Jtr = _jtr(Jcat, rp, w)
     H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
     b = b.at[cols].add(-Jtr)
 
@@ -387,7 +459,7 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     Jer = Jer * tables.ext_active
     Jtdr = Jtdr * tables.td_active
     Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
-    rr, Jcat = jax.vmap(correct_block, in_axes=(0, 0, None))(rr, Jcat, t.robust > 0)
+    rr, Jcat = correct_blocks(rr, Jcat, t.robust > 0)
     w = t.valid
     cols = jnp.concatenate(
         [
@@ -399,8 +471,8 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
         ],
         axis=-1,
     )  # (R,20) — [pose_ref, pose_obs, ext, lm, td], matching Jcat's block order
-    JtJ = jnp.einsum("nri,nrj,n->nij", Jcat, Jcat, w)
-    Jtr = jnp.einsum("nri,nr,n->ni", Jcat, rr, w)
+    JtJ = _jtj(Jcat, Jcat, w)
+    Jtr = _jtr(Jcat, rr, w)
     H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
     b = b.at[cols].add(-Jtr)
 
@@ -425,13 +497,197 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     H = H.at[sl, sl].add(pv * (Jmp.T @ Jmp))
     b = b.at[sl].add(-pv * (Jmp.T @ rmp))
 
-    # ---- marginalization prior ----
+    # ---- marginalization prior (exact tangent chaining, see
+    # _marg_rot_correction) ----
     mv = tables.marg.valid
     dx0 = params.boxminus(cfg, tables.marg.x0)
-    H = H + mv * tables.marg.H0
-    b = b - mv * (tables.marg.Jte0 + tables.marg.H0 @ dx0)
+    rc, C = _marg_rot_correction(dx0, cfg)
+    grad_lin = tables.marg.Jte0 + tables.marg.H0 @ dx0
+    H = H + mv * _dxT_rows(_dx_cols(tables.marg.H0, rc, C), rc, C)
+    b = b - mv * _dxT_vec(grad_lin, rc, C)
 
     return H, b, column_activity(tables, cfg)
+
+
+def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
+    """Assemble the normal equations in BLOCK form for the LM hot loop:
+    returns (Hss (Ds,Ds), Hsl (Ds,L), hll (L,), b (D,), act (D,)).
+
+    Same math as ``build_normal_equations`` but sized for the solver's Schur
+    structure: the reprojection pose-pose contributions are accumulated with
+    segment-sum one-hot contractions (MXU matmuls over small node/pair/
+    landmark one-hots) instead of scattering R x 20 x 20 elements into a
+    dense (D,D) — scatters on TPU serialized and dominated the backend.
+    The landmark-landmark block is diagonal by construction (each factor
+    touches one landmark; the marginalization prior's landmark block is
+    diagonal too — marginalized landmarks leave the prior entirely, as in
+    the reference where dropped inverse-depths are never 'remained' blocks,
+    ic_gvins.cc:1629-1676)."""
+    Ds = cfg.lm_off
+    N, L, R = cfg.N, cfg.L, cfg.R
+    Hss = jnp.zeros((Ds, Ds))
+    Hsl = jnp.zeros((Ds, L))
+    hll = jnp.zeros(L)
+    b = jnp.zeros(cfg.D)
+
+    # ---- GNSS (3 res, 6 cols) — tiny scatter ----
+    t = tables.gnss
+    poses = params.poses[t.idx]
+    rg = jax.vmap(basic.gnss_residual, in_axes=(0, 0, 0, None))(poses, t.blh, t.std, tables.antlever)
+    Jg = jax.vmap(basic.gnss_jacobian, in_axes=(0, 0, None))(poses, t.std, tables.antlever)
+    rg, Jg = correct_blocks(rg, Jg, t.robust > 0)
+    w = t.valid
+    cols = (t.idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
+    Hss = Hss.at[cols[:, :, None], cols[:, None, :]].add(_jtj(Jg, Jg, w))
+    b = b.at[cols].add(-_jtr(Jg, rg, w))
+
+    # ---- preintegration (15 res, 30 cols) — small scatter ----
+    t = tables.preint
+    pose0, mix0 = params.poses[t.idx0], params.mixes[t.idx0]
+    pose1, mix1 = params.poses[t.idx0 + 1], params.mixes[t.idx0 + 1]
+    rp = jax.vmap(lambda s, a, b_, c, d: preint_factor.residual(s, a, b_, c, d, with_earth=cfg.with_earth))(
+        t.summ, pose0, mix0, pose1, mix1
+    )
+    Jp0, Jm0, Jp1, Jm1 = jax.vmap(
+        lambda s, a, b_, c, d: preint_factor.jacobians(s, a, b_, c, d, with_earth=cfg.with_earth)
+    )(t.summ, pose0, mix0, pose1, mix1)
+    Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)
+    w = t.valid
+    cols = (t.idx0 * NODE_DIM)[:, None] + jnp.arange(2 * NODE_DIM, dtype=jnp.int32)[None, :]
+    Hss = Hss.at[cols[:, :, None], cols[:, None, :]].add(_jtj(Jcat, Jcat, w))
+    b = b.at[cols].add(-_jtr(Jcat, rp, w))
+
+    # ---- reprojection (2 res, 20 cols) — segment-sum contractions ----
+    t = tables.reproj
+    pose0, pose1 = params.poses[t.ref_idx], params.poses[t.obs_idx]
+    inv = params.invdepths[t.lm_idx]
+    rr = jax.vmap(
+        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.residual(
+            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
+        )
+    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
+    J0r, J1r, Jer, Jidr, Jtdr = jax.vmap(
+        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.jacobians(
+            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
+        )
+    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
+    Jer = Jer * tables.ext_active
+    Jtdr = Jtdr * tables.td_active
+    Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
+    rr, Jcat = correct_blocks(rr, Jcat, t.robust > 0)
+    w = t.valid  # binary mask
+
+    JA = Jcat[:, :, 0:6] * w[:, None, None]           # ref pose (weighted side)
+    JB = Jcat[:, :, 6:12]                              # obs pose
+    JC = jnp.concatenate([Jcat[:, :, 12:18], Jcat[:, :, 19:20]], axis=2)  # ext+td (7)
+    JL = Jcat[:, :, 18]                                # (R,2) landmark invdepth
+    JBw = JB * w[:, None, None]
+    JCw = JC * w[:, None, None]
+
+    # segment contractions run in f32 on the MXU: emulated-f64 matmuls
+    # dominated assembly, and H only preconditions the LM step (the f64
+    # gradient b below fixes the converged point; LM re-evaluates the true
+    # f64 cost for every candidate step)
+    oh_ref = (t.ref_idx[:, None] == jnp.arange(N)).astype(jnp.float32)   # (R,N)
+    oh_obs = (t.obs_idx[:, None] == jnp.arange(N)).astype(jnp.float32)
+    oh_pair = ((t.ref_idx * N + t.obs_idx)[:, None] == jnp.arange(N * N)).astype(jnp.float32)
+    oh_lm = (t.lm_idx[:, None] == jnp.arange(L)).astype(jnp.float32)     # (R,L)
+
+    pc = (jnp.arange(N, dtype=jnp.int32) * NODE_DIM)[:, None] + jnp.arange(
+        POSE_LOCAL, dtype=jnp.int32)[None, :]  # (N,6)
+    csl = slice(Ds - 7, Ds)  # [ext(6), td(1)] — contiguous tail of the state
+
+    P_AA = _jtj(JA, Jcat[:, :, 0:6]).reshape(R, 36).astype(jnp.float32)
+    P_BB = _jtj(JBw, JB).reshape(R, 36).astype(jnp.float32)
+    P_AB = _jtj(JA, JB).reshape(R, 36).astype(jnp.float32)
+    P_AC = _jtj(JA, JC).reshape(R, 42).astype(jnp.float32)
+    P_BC = _jtj(JBw, JC).reshape(R, 42).astype(jnp.float32)
+    CC = jnp.sum(JCw[:, :, :, None] * JC[:, :, None, :], axis=(0, 1))
+
+    AA = (oh_ref.T @ P_AA).reshape(N, 6, 6).astype(jnp.float64)
+    BB = (oh_obs.T @ P_BB).reshape(N, 6, 6).astype(jnp.float64)
+    AB = (oh_pair.T @ P_AB).reshape(N, N, 6, 6).astype(jnp.float64)
+    AC = (oh_ref.T @ P_AC).reshape(N, 6, 7).astype(jnp.float64)
+    BC = (oh_obs.T @ P_BC).reshape(N, 6, 7).astype(jnp.float64)
+
+    carr = jnp.arange(Ds - 7, Ds, dtype=jnp.int32)
+    Hss = Hss.at[pc[:, :, None], pc[:, None, :]].add(AA + BB)
+    Hss = Hss.at[pc[:, None, :, None], pc[None, :, None, :]].add(AB + AB.transpose(1, 0, 3, 2))
+    Hss = Hss.at[pc[:, :, None], carr[None, None, :]].add(AC + BC)
+    Hss = Hss.at[carr[:, None], pc.reshape(-1)[None, :]].add((AC + BC).reshape(N * 6, 7).T)
+    Hss = Hss.at[csl, csl].add(CC)
+
+    # landmark cross + diagonal
+    P_AL = _jtr(JA, JL)            # (R,6)
+    P_BL = _jtr(JBw, JL)
+    P_CL = _jtr(JCw, JL)           # (R,7)
+    rows_ref = (t.ref_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
+    rows_obs = (t.obs_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
+    Hsl = Hsl.at[rows_ref, t.lm_idx[:, None]].add(P_AL)
+    Hsl = Hsl.at[rows_obs, t.lm_idx[:, None]].add(P_BL)
+    Hsl = Hsl.at[csl, :].add((oh_lm.T @ P_CL.astype(jnp.float32)).T.astype(jnp.float64))
+    hll = hll.at[t.lm_idx].add(jnp.sum(JL * JL, axis=1) * w)
+
+    # gradient (w already folded into rw; w is binary)
+    rw = rr * w[:, None]
+    gA = _jtr(Jcat[:, :, 0:6], rw)
+    gB = _jtr(JB, rw)
+    gC = _jtr(JC, rw)
+    gL = jnp.sum(JL * rw, axis=1)
+    b = b.at[rows_ref].add(-gA)
+    b = b.at[rows_obs].add(-gB)
+    b = b.at[csl].add(-jnp.sum(gC, axis=0))
+    b = b.at[cfg.lm_off + t.lm_idx].add(-gL)
+
+    # ---- imu error factor on newest mix ----
+    kmix = tables.prior.imuerr_idx
+    ev = tables.prior.imuerr_valid
+    re = basic.imu_error_residual(params.mixes[kmix])
+    Je = basic.imu_error_jacobian()
+    cols_e = kmix * NODE_DIM + POSE_LOCAL + jnp.arange(MIX_DIM, dtype=jnp.int32)
+    Hss = Hss.at[cols_e[:, None], cols_e[None, :]].add(ev * (Je.T @ Je))
+    b = b.at[cols_e].add(-ev * (Je.T @ re))
+
+    # ---- init priors on node 0 ----
+    pv = tables.prior.valid
+    rpp = basic.pose_prior_residual(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
+    Jpp = basic.pose_prior_jacobian(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
+    Hss = Hss.at[:POSE_LOCAL, :POSE_LOCAL].add(pv * (Jpp.T @ Jpp))
+    b = b.at[:POSE_LOCAL].add(-pv * (Jpp.T @ rpp))
+    rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
+    Jmp = basic.mix_prior_jacobian(tables.prior.mix_prior_std)
+    sl = slice(POSE_LOCAL, NODE_DIM)
+    Hss = Hss.at[sl, sl].add(pv * (Jmp.T @ Jmp))
+    b = b.at[sl].add(-pv * (Jmp.T @ rmp))
+
+    # ---- marginalization prior (exact tangent chaining, see
+    # _marg_rot_correction; all rotation tangents live in the state block,
+    # the landmark tangent map is identity) ----
+    mv = tables.marg.valid
+    dx0 = params.boxminus(cfg, tables.marg.x0)
+    rc, C = _marg_rot_correction(dx0, cfg)
+    grad_lin = tables.marg.Jte0 + tables.marg.H0 @ dx0
+    Hss = Hss + mv * _dxT_rows(_dx_cols(tables.marg.H0[:Ds, :Ds], rc, C), rc, C)
+    Hsl = Hsl + mv * _dxT_rows(tables.marg.H0[:Ds, Ds:], rc, C)
+    hll = hll + mv * jnp.diag(tables.marg.H0)[Ds:]
+    b = b - mv * _dxT_vec(grad_lin, rc, C)
+
+    return Hss, Hsl, hll, b, column_activity(tables, cfg)
+
+
+def apply_gauge_blocks(Hss, Hsl, hll, b, act, cfg: WindowConfig):
+    """Freeze inactive columns on the block form (unit diagonal, zero rows)."""
+    acts, actl = act[: cfg.lm_off], act[cfg.lm_off :]
+    Hss = Hss * acts[:, None] * acts[None, :] + jnp.diag(1.0 - acts)
+    Hsl = Hsl * acts[:, None] * actl[None, :]
+    hll = hll * actl + (1.0 - actl)
+    return Hss, Hsl, hll, b * act
+
+
+def block_matvec(Hss, Hsl, hll, x, cfg: WindowConfig):
+    """H @ x on the block form."""
+    xs, xl = x[: cfg.lm_off], x[cfg.lm_off :]
+    return jnp.concatenate([Hss @ xs + Hsl @ xl, Hsl.T @ xs + hll * xl])
 
 
 def column_activity(tables: FactorTables, cfg: WindowConfig):

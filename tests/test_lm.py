@@ -220,3 +220,36 @@ def test_visual_ba_schur():
     np.testing.assert_allclose(
         np.asarray(params.invdepths[:n_lm]), np.asarray(truth.invdepths[:n_lm]), atol=1e-6
     )
+
+
+def test_blocks_match_dense_assembly():
+    """build_normal_blocks (LM hot path, segment-sum contractions) must equal
+    the dense build_normal_equations on a problem with every factor type."""
+    import __graft_entry__ as ge
+    from ic_gvins_tpu.solver.problem import build_normal_blocks, build_normal_equations
+
+    cfg = WindowConfig(N=6, L=32, G=8, R=128, with_earth=False)
+    params, tables = ge._make_problem(cfg)
+    # perturb so residuals/jacobians are generic, enable ext/td columns
+    rng = np.random.default_rng(3)
+    params = params._replace(
+        poses=params.poses.at[:, :3].add(jnp.asarray(rng.normal(0, 0.03, (cfg.N, 3)))),
+        invdepths=params.invdepths + jnp.asarray(rng.normal(0, 0.005, cfg.L)),
+    )
+    tables = tables._replace(ext_active=jnp.ones(()), td_active=jnp.ones(()))
+
+    H, b, act = jax.jit(lambda p, t: build_normal_equations(p, t, cfg))(params, tables)
+    Hss, Hsl, hll, b2, act2 = jax.jit(lambda p, t: build_normal_blocks(p, t, cfg))(params, tables)
+
+    Ds = cfg.lm_off
+    # H blocks accumulate through f32 MXU contractions (preconditioner only);
+    # the gradient b is exact f64
+    scale = max(1.0, np.abs(np.asarray(H)).max())
+    np.testing.assert_allclose(np.asarray(Hss), np.asarray(H[:Ds, :Ds]), atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(Hsl), np.asarray(H[:Ds, Ds:]), atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(hll), np.asarray(jnp.diag(H)[Ds:]), atol=1e-9, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=1e-9, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(act2), np.asarray(act), atol=0)
+    # lm-lm off-diagonal must be empty (solver assumption)
+    offdiag = np.asarray(H[Ds:, Ds:]) - np.diag(np.asarray(jnp.diag(H)[Ds:]))
+    assert np.abs(offdiag).max() == 0.0

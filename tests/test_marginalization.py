@@ -167,3 +167,64 @@ def test_sliding_window_equivalence():
             np.asarray(params_w.poses[k, :3] - params_full.poses[k + num_marg, :3])
         )
         assert err < 5e-3, f"node {k}: {err}"
+
+
+def test_replayed_prior_gradient_consistent_and_cost_bounded():
+    """Two regression gates on the replayed prior:
+
+    1. |e0|^2 stays at residual scale. The absolute 1e-8 eigenvalue cut of
+       the reference let eigh rounding junk (~1e-6 on a ~1e9-scale H) pass
+       as real information; 1/sqrt(s) then amplified gradient junk into a
+       prior with a huge CONSTANT cost, which broke LM's relative
+       convergence test and made run outcomes depend on rounding.
+    2. The assembled gradient b matches autodiff of total_cost even with a
+       rotated-away linearization point: the prior's derivative must chain
+       through d(boxminus)/d(tangent) (Jr^{-1} on every rotation block) —
+       dropping it (as the reference's MarginalizationFactor does) leaves a
+       gradient error of O(|J0^T r| * |dtheta|) that exceeds the true
+       gradient near convergence and stalls the solver off-optimum.
+    """
+    from ic_gvins_tpu.solver.problem import apply_gauge, total_cost
+
+    states, summs, gnss_pos, truth = build_world(seed=5)
+    tables = make_tables(states, summs, gnss_pos, 6, truth)
+    params, _, _ = jax.jit(lambda p, t: lm.solve(p, t, CFG, 40))(truth, tables)
+
+    num_marg = 2
+    marg_tables, mask, _ = marg.select_marg_factors(tables, CFG, num_marg, oldest_kf_node=0)
+    prior = marg.marginalize(params, marg_tables, mask, CFG)
+
+    # gate 1: constant prior cost at the linearization point is bounded by
+    # the (small) converged residual cost of the absorbed factors
+    e0_sq = float(jnp.sum(prior.e0**2))
+    pre_cost = float(total_cost(params, marg_tables, CFG))
+    assert e0_sq < 10.0 * pre_cost + 1.0, f"|e0|^2 = {e0_sq} vs marg-factor cost {pre_cost}"
+
+    # keep indexing unshifted: deactivate absorbed factors, install the prior
+    g = tables.gnss
+    keepg = jnp.arange(CFG.G) >= num_marg
+    tables2 = tables._replace(
+        gnss=g._replace(valid=g.valid * keepg.astype(jnp.float64)),
+        preint=tables.preint._replace(
+            valid=tables.preint.valid * (tables.preint.idx0 >= num_marg)),
+        prior=tables.prior._replace(valid=jnp.zeros(())),
+        marg=prior,
+    )
+
+    # gate 2: perturb (rotations included) so dx0 has a nonzero angle, then
+    # b must equal -grad(total_cost)
+    rng = np.random.default_rng(7)
+    p2 = params
+    for k in range(6):
+        dq = quat.from_rotvec(jnp.asarray(rng.normal(0, 0.02, 3)))
+        p2 = p2._replace(
+            poses=p2.poses.at[k, 3:7].set(quat.mul(p2.poses[k, 3:7], dq))
+                        .at[k, :3].add(jnp.asarray(rng.normal(0, 0.05, 3))))
+
+    H, b, act = jax.jit(lambda p, t: build_normal_equations(p, t, CFG))(p2, tables2)
+    _, b = apply_gauge(H, b, act)
+    g_auto = jax.jit(jax.grad(lambda dx: total_cost(p2.boxplus(CFG, dx), tables2, CFG)))(
+        jnp.zeros(CFG.D)) * act
+    gmax = float(jnp.abs(g_auto).max())
+    err = float(jnp.abs(b + g_auto).max())
+    assert err < 0.02 * max(gmax, 1e-3), f"gradient mismatch {err} vs |g|max {gmax}"
