@@ -40,7 +40,7 @@ def mul(q1, q2):
 
 
 def conj(q):
-    return q * jnp.array([-1.0, -1.0, -1.0, 1.0])
+    return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], q.dtype)
 
 
 def rotate(q, v):

@@ -430,3 +430,8 @@ class SlidingWindowEstimator:
             valid=roll_tail(self.preint_table.valid).at[k - 1].set(1.0),
         )
         self.seg_store = jax.tree_util.tree_map(roll_tail, self.seg_store)
+
+        # the prior's node columns must follow the slot compaction (see
+        # marg.drop_node_from_prior) or it constrains the wrong nodes
+        if self.marg_prior is not None:
+            self.marg_prior = marg.drop_node_from_prior(self.marg_prior, self.wcfg, k)

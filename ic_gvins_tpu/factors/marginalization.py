@@ -56,7 +56,7 @@ def _equilibrated_eigh(A):
 
     Returns (w, V, d) with A = d[:,None]*d[None,:] * (V w V^T)."""
     dg = jnp.diag(A)
-    dmax = jnp.maximum(jnp.max(dg), 1e-300)
+    dmax = jnp.maximum(jnp.max(dg), 1.0)  # floor 1: zero/empty blocks stay finite
     d = jnp.sqrt(jnp.clip(dg, dmax * 1e-30, None))
     An = A / (d[:, None] * d[None, :])
     w, V = jnp.linalg.eigh(0.5 * (An + An.T))
@@ -79,9 +79,18 @@ def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg:
     # the prior inside marg_tables is evaluated at its own x0; H/b from
     # build_normal_equations already include it.
 
-    m = marg_mask
-    r = (1.0 - m) * act  # remained & active
+    J0, e0 = _schur_sqrt(H, b, marg_mask, (1.0 - marg_mask) * act)
 
+    H0 = J0.T @ J0
+    Jte0 = J0.T @ e0
+    return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=params, valid=jnp.ones(()))
+
+
+def _schur_sqrt(H, b, m, r):
+    """Schur-eliminate the masked coordinates and sqrt-factorize the result.
+
+    m: (D,) 0/1 marginalized mask; r: (D,) 0/1 remained mask.
+    Returns (J0, e0) with J0^T J0 = Hp and J0^T e0 = -bp."""
     Hmm = H * m[:, None] * m[None, :]
     Hrm = H * r[:, None] * m[None, :]
     Hrr = H * r[:, None] * r[None, :]
@@ -107,10 +116,42 @@ def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg:
     s_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
     J0 = jnp.sqrt(s_clamped)[:, None] * (U.T * dp[None, :])
     e0 = -(jnp.sqrt(s_inv)[:, None] * U.T) @ (bp / dp)
+    return J0, e0
 
-    H0 = J0.T @ J0
-    Jte0 = J0.T @ e0
-    return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=params, valid=jnp.ones(()))
+
+def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
+    """Remove interior node ``k`` from the prior after a node merge.
+
+    When a second-new keyframe's time node is merged away
+    (removeUnusedTimeNode, ic_gvins.cc:754-789), every node above it shifts
+    one slot left. The reference's prior follows implicitly — its parameter
+    pointers alias the shifted deque storage — but with fixed slot columns
+    the prior must be remapped explicitly, or it keeps applying its
+    constraints to the WRONG nodes (meters-level |J0 dx0| that poisons every
+    subsequent solve and, through chi2 reweighting, permanently disables
+    GNSS). Statistically the right operation is to Schur-marginalize the
+    merged node's 15 coordinates out of the prior, then compact columns.
+    ``k`` is a host int."""
+    D = cfg.D
+    idx = k * NODE_DIM + jnp.arange(NODE_DIM)
+    m = jnp.zeros(D).at[idx].set(1.0)
+    # restrict to coordinates the prior actually constrains (zero J0
+    # columns stay zero through the Schur complement)
+    act = (jnp.abs(prior.J0).max(axis=0) > 0).astype(jnp.float64)
+    J0, e0 = _schur_sqrt(prior.H0, -prior.Jte0, m, (1.0 - m) * act)
+
+    # compact: node columns > k move one slot left, last node zeroed
+    nd = cfg.N * NODE_DIM
+    lo, hi = k * NODE_DIM, (k + 1) * NODE_DIM
+    J0 = jnp.concatenate(
+        [J0[:, :lo], J0[:, hi:nd], jnp.zeros((D, NODE_DIM)), J0[:, nd:]], axis=1)
+    poses0 = jnp.concatenate(
+        [prior.x0.poses[:k], prior.x0.poses[k + 1:],
+         jnp.zeros((1, 7)).at[0, 6].set(1.0)], axis=0)
+    mixes0 = jnp.concatenate(
+        [prior.x0.mixes[:k], prior.x0.mixes[k + 1:], jnp.zeros((1, MIX_DIM))], axis=0)
+    x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
+    return prior._replace(J0=J0, H0=J0.T @ J0, e0=e0, Jte0=J0.T @ e0, x0=x0)
 
 
 def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):

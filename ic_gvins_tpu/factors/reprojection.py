@@ -69,7 +69,7 @@ def jacobians(pose0, pose1, ext, invdepth, td, pts0, pts1, vel0, vel1, td0, td1,
     J1 = jnp.concatenate([-cbc @ cnb1, cbc @ quat.skew(pts_b1)], axis=1)
     # extrinsic
     tmp_r = cbc @ cnb1 @ cb0n @ cbc.T
-    Jext_t = cbc @ (cnb1 @ cb0n - jnp.eye(3))
+    Jext_t = cbc @ (cnb1 @ cb0n - jnp.eye(3, dtype=cbc.dtype))
     Jext_r = (
         -tmp_r @ quat.skew(pts_c0)
         + quat.skew(tmp_r @ pts_c0)

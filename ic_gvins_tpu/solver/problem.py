@@ -272,14 +272,54 @@ def _preint_residuals(params, t: PreintTable, with_earth):
     return jax.vmap(fn)(t.summ, pose0, mix0, pose1, mix1)  # (P,15)
 
 
-def _reproj_residuals(params, t: ReprojTable):
+def _reproj_inputs32(params, t: ReprojTable):
+    """Translation-re-centered f32 inputs for the reprojection factor.
+
+    The factor is invariant to a common translation of both poses, so the
+    meter-scale baseline p0 - p1 is formed in f64 FIRST (at urban38 scale
+    positions reach ~1e4 m and a direct f32 subtraction would eat the mm
+    digits), then everything runs in f32: whitened reprojection residuals
+    are O(1 px) with pixel-level noise, f32 keeps them to ~1e-6 px, and f64
+    vector math is software-emulated on the TPU VPU — the factor table is
+    the largest per-iteration evaluation in the backend."""
+    f32 = jnp.float32
     pose0 = params.poses[t.ref_idx]
     pose1 = params.poses[t.obs_idx]
-    inv = params.invdepths[t.lm_idx]
+    dp = (pose0[:, :3] - pose1[:, :3]).astype(f32)
+    pose0_32 = jnp.concatenate([dp, pose0[:, 3:7].astype(f32)], axis=1)
+    pose1_32 = jnp.concatenate([jnp.zeros_like(dp), pose1[:, 3:7].astype(f32)], axis=1)
+    inv = params.invdepths[t.lm_idx].astype(f32)
+    ext = params.ext.astype(f32)
+    td = params.td.astype(f32)
+    obs = tuple(x.astype(f32) for x in (t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1))
+    return pose0_32, pose1_32, inv, ext, td, obs, jnp.asarray(t.sqrt_info, f32)
+
+
+def _reproj_residuals(params, t: ReprojTable):
+    pose0, pose1, inv, ext, td, obs, sqi = _reproj_inputs32(params, t)
     fn = lambda p0, p1, iv, a, b, c, d, e, f: reprojection.residual(
-        p0, p1, params.ext, iv, params.td, a, b, c, d, e, f, t.sqrt_info
+        p0, p1, ext, iv, td, a, b, c, d, e, f, sqi
     )
-    return jax.vmap(fn)(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)  # (R,2)
+    return jax.vmap(fn)(pose0, pose1, inv, *obs)  # (R,2) f32
+
+
+def _reproj_blocks(params, t: ReprojTable, ext_active, td_active):
+    """Robust-corrected f32 (r (R,2), Jcat (R,2,20)) for the reprojection
+    table; column order [pose_ref 6, pose_obs 6, ext 6, invdepth 1, td 1]."""
+    pose0, pose1, inv, ext, td, obs, sqi = _reproj_inputs32(params, t)
+    rr = jax.vmap(
+        lambda p0, p1, iv, a, b, c, d, e, f: reprojection.residual(
+            p0, p1, ext, iv, td, a, b, c, d, e, f, sqi)
+    )(pose0, pose1, inv, *obs)
+    J0r, J1r, Jer, Jidr, Jtdr = jax.vmap(
+        lambda p0, p1, iv, a, b, c, d, e, f: reprojection.jacobians(
+            p0, p1, ext, iv, td, a, b, c, d, e, f, sqi)
+    )(pose0, pose1, inv, *obs)
+    # column gating for fixed extrinsic/td
+    Jer = Jer * ext_active.astype(jnp.float32)
+    Jtdr = Jtdr * td_active.astype(jnp.float32)
+    Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
+    return correct_blocks(rr, Jcat, t.robust > 0)
 
 
 def chi2_blocks(params, tables: FactorTables, cfg: WindowConfig):
@@ -441,25 +481,10 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
     b = b.at[cols].add(-Jtr)
 
-    # ---- reprojection (2 res, 20 cols) ----
+    # ---- reprojection (2 res, 20 cols) — f32 evaluation with f64
+    # re-centered baseline (see _reproj_inputs32) ----
     t = tables.reproj
-    pose0, pose1 = params.poses[t.ref_idx], params.poses[t.obs_idx]
-    inv = params.invdepths[t.lm_idx]
-    rr = jax.vmap(
-        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.residual(
-            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
-        )
-    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
-    J0r, J1r, Jer, Jidr, Jtdr = jax.vmap(
-        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.jacobians(
-            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
-        )
-    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
-    # column gating for fixed extrinsic/td
-    Jer = Jer * tables.ext_active
-    Jtdr = Jtdr * tables.td_active
-    Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
-    rr, Jcat = correct_blocks(rr, Jcat, t.robust > 0)
+    rr, Jcat = _reproj_blocks(params, t, tables.ext_active, tables.td_active)
     w = t.valid
     cols = jnp.concatenate(
         [
@@ -557,32 +582,19 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     Hss = Hss.at[cols[:, :, None], cols[:, None, :]].add(_jtj(Jcat, Jcat, w))
     b = b.at[cols].add(-_jtr(Jcat, rp, w))
 
-    # ---- reprojection (2 res, 20 cols) — segment-sum contractions ----
+    # ---- reprojection (2 res, 20 cols) — f32 evaluation (see
+    # _reproj_inputs32) + segment-sum contractions ----
     t = tables.reproj
-    pose0, pose1 = params.poses[t.ref_idx], params.poses[t.obs_idx]
-    inv = params.invdepths[t.lm_idx]
-    rr = jax.vmap(
-        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.residual(
-            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
-        )
-    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
-    J0r, J1r, Jer, Jidr, Jtdr = jax.vmap(
-        lambda p0, p1, iv, a, b_, c, d, e, f: reprojection.jacobians(
-            p0, p1, params.ext, iv, params.td, a, b_, c, d, e, f, t.sqrt_info
-        )
-    )(pose0, pose1, inv, t.pts0, t.pts1, t.vel0, t.vel1, t.td0, t.td1)
-    Jer = Jer * tables.ext_active
-    Jtdr = Jtdr * tables.td_active
-    Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
-    rr, Jcat = correct_blocks(rr, Jcat, t.robust > 0)
+    rr, Jcat = _reproj_blocks(params, t, tables.ext_active, tables.td_active)
     w = t.valid  # binary mask
+    w32 = w.astype(jnp.float32)
 
-    JA = Jcat[:, :, 0:6] * w[:, None, None]           # ref pose (weighted side)
+    JA = Jcat[:, :, 0:6] * w32[:, None, None]          # ref pose (weighted side)
     JB = Jcat[:, :, 6:12]                              # obs pose
     JC = jnp.concatenate([Jcat[:, :, 12:18], Jcat[:, :, 19:20]], axis=2)  # ext+td (7)
     JL = Jcat[:, :, 18]                                # (R,2) landmark invdepth
-    JBw = JB * w[:, None, None]
-    JCw = JC * w[:, None, None]
+    JBw = JB * w32[:, None, None]
+    JCw = JC * w32[:, None, None]
 
     # segment contractions run in f32 on the MXU: emulated-f64 matmuls
     # dominated assembly, and H only preconditions the LM step (the f64
@@ -602,7 +614,7 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     P_AB = _jtj(JA, JB).reshape(R, 36).astype(jnp.float32)
     P_AC = _jtj(JA, JC).reshape(R, 42).astype(jnp.float32)
     P_BC = _jtj(JBw, JC).reshape(R, 42).astype(jnp.float32)
-    CC = jnp.sum(JCw[:, :, :, None] * JC[:, :, None, :], axis=(0, 1))
+    CC = jnp.sum(JCw[:, :, :, None] * JC[:, :, None, :], axis=(0, 1)).astype(jnp.float64)
 
     AA = (oh_ref.T @ P_AA).reshape(N, 6, 6).astype(jnp.float64)
     BB = (oh_obs.T @ P_BB).reshape(N, 6, 6).astype(jnp.float64)
@@ -623,9 +635,9 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     P_CL = _jtr(JCw, JL)           # (R,7)
     rows_ref = (t.ref_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
     rows_obs = (t.obs_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
-    Hsl = Hsl.at[rows_ref, t.lm_idx[:, None]].add(P_AL)
-    Hsl = Hsl.at[rows_obs, t.lm_idx[:, None]].add(P_BL)
-    Hsl = Hsl.at[csl, :].add((oh_lm.T @ P_CL.astype(jnp.float32)).T.astype(jnp.float64))
+    Hsl = Hsl.at[rows_ref, t.lm_idx[:, None]].add(P_AL.astype(jnp.float64))
+    Hsl = Hsl.at[rows_obs, t.lm_idx[:, None]].add(P_BL.astype(jnp.float64))
+    Hsl = Hsl.at[csl, :].add((oh_lm.T @ P_CL).T.astype(jnp.float64))
     hll = hll.at[t.lm_idx].add(jnp.sum(JL * JL, axis=1) * w)
 
     # gradient (w already folded into rw; w is binary)

@@ -216,9 +216,11 @@ def test_visual_ba_schur():
     )
 
     params, stats, _ = jax.jit(lambda p, t: lm.solve(p, t, cfg, 25))(params0, tables)
-    assert float(stats.final_cost) < 1e-10
+    # reprojection residuals evaluate in f32 (~1e-6 px floor over R factors),
+    # so the noise-free cost converges to ~R * (1e-6)^2, not to f64 zero
+    assert float(stats.final_cost) < 1e-7
     np.testing.assert_allclose(
-        np.asarray(params.invdepths[:n_lm]), np.asarray(truth.invdepths[:n_lm]), atol=1e-6
+        np.asarray(params.invdepths[:n_lm]), np.asarray(truth.invdepths[:n_lm]), atol=1e-5
     )
 
 
@@ -248,7 +250,10 @@ def test_blocks_match_dense_assembly():
     np.testing.assert_allclose(np.asarray(Hss), np.asarray(H[:Ds, :Ds]), atol=2e-6 * scale)
     np.testing.assert_allclose(np.asarray(Hsl), np.asarray(H[:Ds, Ds:]), atol=2e-6 * scale)
     np.testing.assert_allclose(np.asarray(hll), np.asarray(jnp.diag(H)[Ds:]), atol=1e-9, rtol=1e-9)
-    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=1e-9, rtol=1e-9)
+    # the reprojection contributions to b evaluate in f32 (different but
+    # equally-rounded accumulation orders in the two paths)
+    bscale = max(1.0, np.abs(np.asarray(b)).max())
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=2e-6 * bscale)
     np.testing.assert_allclose(np.asarray(act2), np.asarray(act), atol=0)
     # lm-lm off-diagonal must be empty (solver assumption)
     offdiag = np.asarray(H[Ds:, Ds:]) - np.diag(np.asarray(jnp.diag(H)[Ds:]))

@@ -228,3 +228,44 @@ def test_replayed_prior_gradient_consistent_and_cost_bounded():
     gmax = float(jnp.abs(g_auto).max())
     err = float(jnp.abs(b + g_auto).max())
     assert err < 0.02 * max(gmax, 1e-3), f"gradient mismatch {err} vs |g|max {gmax}"
+
+
+def test_drop_node_from_prior_preserves_marginal():
+    """Removing an interior node from the prior (merge_node path) must be the
+    Schur marginal of that node's 15 coordinates, with the columns above it
+    compacted one slot left. Regression: before this existed, the prior kept
+    its old columns after second-new-node merges and applied meters-level
+    constraints to the WRONG nodes, which (through persistent GNSS chi2
+    reweighting) sent the GVINS e2e off by hundreds of meters."""
+    states, summs, gnss_pos, truth = build_world(seed=9)
+    tables = make_tables(states, summs, gnss_pos, 6, truth)
+    params, _, _ = jax.jit(lambda p, t: lm.solve(p, t, CFG, 40))(truth, tables)
+    marg_tables, mask, _ = marg.select_marg_factors(tables, CFG, 2, oldest_kf_node=0)
+    prior = marg.marginalize(params, marg_tables, mask, CFG)
+
+    k = 3
+    pr2 = marg.drop_node_from_prior(prior, CFG, k)
+
+    # last node's columns vacated, x0 compacted
+    nd = CFG.N * 15
+    assert float(jnp.abs(pr2.J0[:, nd - 15 : nd]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(pr2.x0.poses[k]), np.asarray(prior.x0.poses[k + 1]))
+
+    J0 = np.asarray(prior.J0)
+    e0 = np.asarray(prior.e0)
+    Jk = J0[:, k * 15 : (k + 1) * 15]
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        # random step on the compacted coordinates, embedded into the
+        # original layout with node k minimized out
+        dxc = rng.normal(0, 0.05, CFG.D)
+        dxc[nd - 15 :] = dxc[nd - 15 : CFG.D]  # arbitrary; tail node unused
+        dxo = np.zeros(CFG.D)
+        dxo[: k * 15] = dxc[: k * 15]
+        dxo[(k + 1) * 15 : nd] = dxc[k * 15 : nd - 15]
+        dxo[nd:] = dxc[nd:]
+        res_wo_k = e0 + J0 @ dxo
+        xk = -np.linalg.pinv(Jk.T @ Jk, rcond=1e-10) @ (Jk.T @ res_wo_k)
+        cost_min = 0.5 * np.sum((res_wo_k + Jk @ xk) ** 2)
+        cost_comp = 0.5 * float(jnp.sum((pr2.e0 + pr2.J0 @ jnp.asarray(dxc)) ** 2))
+        np.testing.assert_allclose(cost_comp, cost_min, rtol=1e-6, atol=1e-8)
