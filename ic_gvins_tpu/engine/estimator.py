@@ -100,6 +100,32 @@ class SlidingWindowEstimator:
     # node management
     # ------------------------------------------------------------------
 
+    def check_time_consistency(self, where="", raise_on_fail=False):
+        """Debug/test invariant: every active preintegration interval must
+        match the node-time structure (summ.dt == times[k+1]-times[k] and
+        summ.end_time == times[k+1]). Structural edits (merge/truncate/
+        marginalize/insert) that desynchronize the segment table from the
+        node list produce silently-catastrophic factors; this catches them
+        at the op that broke the invariant."""
+        msgs = []
+        dts = np.asarray(self.preint_table.summ.dt).ravel()
+        ends = np.asarray(self.preint_table.summ.end_time).ravel()
+        valid = np.asarray(self.preint_table.valid).ravel()
+        for k in range(self.n_nodes - 1):
+            gap = self.times[k + 1] - self.times[k]
+            if valid[k] != 1.0:
+                msgs.append(f"interval {k} invalid (nodes {self.times[k]:.3f}->{self.times[k+1]:.3f})")
+            elif abs(dts[k] - gap) > 1e-6:
+                msgs.append(f"interval {k}: summ.dt {dts[k]:.4f} != node gap {gap:.4f}")
+            elif abs(ends[k] - self.times[k + 1]) > 1e-6:
+                msgs.append(f"interval {k}: end_time {ends[k]:.4f} != times[k+1] {self.times[k+1]:.4f}")
+        for k in range(max(self.n_nodes - 1, 0), self.wcfg.P):
+            if valid[k] != 0.0:
+                msgs.append(f"interval {k} beyond window still valid")
+        if msgs and raise_on_fail:
+            raise AssertionError(f"[{where}] " + "; ".join(msgs))
+        return msgs
+
     def reset_first_node(self, time, state: NavState):
         """Seed node 0 (gvinsInitialization, ic_gvins.cc:652-671)."""
         self.n_nodes = 1
@@ -110,9 +136,11 @@ class SlidingWindowEstimator:
         )
 
     def node_state(self, k) -> NavState:
+        # jnp.array: self.poses[k] is a VIEW into the in-place-mutated host
+        # mirror (see build_params)
         return NavState.from_pose_mix(
             jnp.asarray(self.times[k]),
-            jnp.asarray(self.poses[k]),
+            jnp.array(self.poses[k]),
             jnp.asarray(np.concatenate([self.mixes[k], [0.0]])),
         )
 
@@ -248,10 +276,17 @@ class SlidingWindowEstimator:
     def build_params(self, invdepths=None) -> WindowParams:
         wc = self.wcfg
         p = WindowParams.zeros(wc)
+        # jnp.array (copy=True), NOT jnp.asarray: asarray zero-copies the
+        # numpy host mirrors on CPU backends, and the window bookkeeping
+        # mutates poses/mixes IN PLACE (marginalize/merge shifts) while the
+        # async device computation that captured the buffer may not have
+        # read it yet — a host/device data race that silently hands the
+        # solver/marginalization params from a DIFFERENT window state and
+        # poisons the prior, with scheduling-dependent (chaotic) outcomes.
         p = p._replace(
-            poses=jnp.asarray(self.poses),
-            mixes=jnp.asarray(self.mixes),
-            ext=jnp.asarray(self.ext),
+            poses=jnp.array(self.poses),
+            mixes=jnp.array(self.mixes),
+            ext=jnp.array(self.ext),
             td=jnp.asarray(self.td),
         )
         if invdepths is not None:

@@ -179,6 +179,32 @@ def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     return prior._replace(J0=J0, H0=H0, Jte0=Jte0, x0=x0)
 
 
+def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
+    """Shift node columns >= k one slot RIGHT after a node insertion at slot
+    ``k`` (insertNewGnssTimeNode's mid-interval case truncates the tail and
+    re-adds it after the new GNSS node, ic_gvins.cc:864-876 — every tail
+    node moves up one slot). The new slot's columns are zero: the prior
+    carries no constraint on the inserted node. Counterpart of
+    ``drop_node_from_prior``; without it the prior constrains the wrong
+    nodes after every mid-interval GNSS insertion. ``k`` is a host int.
+    Insertion only happens with free slots (capacity is ensured first), so
+    no information falls off the tail."""
+    D = cfg.D
+    nd = cfg.N * NODE_DIM
+    lo = k * NODE_DIM
+    J0 = jnp.concatenate(
+        [prior.J0[:, :lo], jnp.zeros((prior.J0.shape[0], NODE_DIM)),
+         prior.J0[:, lo : nd - NODE_DIM], prior.J0[:, nd:]], axis=1)
+    poses0 = jnp.concatenate(
+        [prior.x0.poses[:k], jnp.zeros((1, 7)).at[0, 6].set(1.0),
+         prior.x0.poses[k : cfg.N - 1]], axis=0)
+    mixes0 = jnp.concatenate(
+        [prior.x0.mixes[:k], jnp.zeros((1, MIX_DIM)),
+         prior.x0.mixes[k : cfg.N - 1]], axis=0)
+    x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
+    return prior._replace(J0=J0, H0=J0.T @ J0, Jte0=J0.T @ prior.e0, x0=x0)
+
+
 def select_marg_factors(tables: FactorTables, cfg: WindowConfig, num_marg, oldest_kf_node):
     """Build the marg_tables + marg mask for marginalizing nodes
     [0, num_marg) and the landmarks referenced by the oldest keyframe

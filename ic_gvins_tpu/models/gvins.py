@@ -23,6 +23,7 @@ import numpy as np
 
 from ..core import quaternion as quat
 from ..engine.config import GvinsConfig, NORMAL_GRAVITY
+from ..factors import marginalization as marg
 from ..solver.problem import ReprojTable, WindowConfig
 from ..vision import camera as vcam
 from ..vision.map import (
@@ -333,6 +334,11 @@ class GvinsModel(GinsModel):
             for t in dropped:
                 series = stream.series(est.times[est.n_nodes - 1], t)
                 est.add_time_node(t, series)
+            # every re-added tail node moved one slot up: the prior's node
+            # columns must follow (see marg.insert_node_slot_into_prior)
+            if est.marg_prior is not None:
+                est.marg_prior = marg.insert_node_slot_into_prior(
+                    est.marg_prior, est.wcfg, index)
         return True
 
     # ------------------------------------------------------------------

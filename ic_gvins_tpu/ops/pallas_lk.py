@@ -8,8 +8,12 @@ into VMEM and runs all iterations on-chip:
 
   - block corners are tile-aligned ((8,128) HBM tiling) and arrive via
     scalar prefetch so the DMAs issue before the body
-  - DMAs are double-buffered across grid programs: program f issues the
-    fetch for feature f+1 before computing on feature f, hiding HBM latency
+  - DMAs run through an NBUF-deep slot ring across grid programs: program f
+    issues the fetch for feature f+NBUF-1 and waits only on its own slot.
+    Per-feature compute (~1 us) is SHORTER than HBM copy latency, so a
+    2-slot double buffer leaves the pipeline latency-bound (~5 us/program
+    measured); a deep ring keeps NBUF-1 copies in flight and the grid
+    throughput-bound
   - alignment of a float position onto the window center uses two dynamic
     rolls of the full block (integer part, mosaic dynamic_rotate), then a
     STATIC lane-aligned crop to (32,128), then a 4-shift bilinear blend
@@ -41,6 +45,7 @@ CCY, CCX = CY - CROP_R0, CX - CROP_C0  # center within the crop (16, 64)
 MAX_ITERS = 30
 EPS = 0.01
 MIN_EIG_THRESHOLD = 1e-4
+NBUF = 8                # DMA slot-ring depth (copies in flight: NBUF-1)
 
 
 def _roll(block, shift, axis):
@@ -109,22 +114,26 @@ def _kernel(corners_ref, feat_ref,
     # footprint at KBs (an (N,2) SMEM array is padded to 128 lanes per row)
     f = pl.program_id(0)
     n = pl.num_programs(0)
-    slot = jax.lax.rem(f, jnp.int32(2))
+    slot = jax.lax.rem(f, jnp.int32(NBUF))
 
-    # double-buffered pipeline: program 0 fetches itself, every program
-    # prefetches its successor, every program waits only on its own slot
+    # slot-ring pipeline: program 0 primes slots 0..NBUF-2, every program
+    # prefetches feature f+NBUF-1, every program waits only on its own slot
     @pl.when(f == 0)
     def _():
-        a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
-                             prev_blk, next_blk, sem, jnp.int32(0), jnp.int32(0))
-        a.start()
-        b.start()
+        for j in range(NBUF - 1):
+            @pl.when(jnp.int32(j) < n)
+            def _():
+                a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
+                                     prev_blk, next_blk, sem,
+                                     jnp.int32(j), jnp.int32(j))
+                a.start()
+                b.start()
 
-    @pl.when(f + 1 < n)
+    @pl.when(f + NBUF - 1 < n)
     def _():
         a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
                              prev_blk, next_blk, sem,
-                             f + 1, jax.lax.rem(f + 1, jnp.int32(2)))
+                             f + NBUF - 1, jax.lax.rem(f + NBUF - 1, jnp.int32(NBUF)))
         a.start()
         b.start()
 
@@ -253,9 +262,9 @@ def lk_level_pallas(img_prev, img_next, pts_prev, pts_guess, valid, interpret=Fa
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BLK_R, BLK_C), jnp.float32),
-            pltpu.VMEM((2, BLK_R, BLK_C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, BLK_R, BLK_C), jnp.float32),
+            pltpu.VMEM((NBUF, BLK_R, BLK_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, NBUF)),
         ],
     )
 
