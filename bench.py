@@ -3,11 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the two dominating per-frame costs at KAIST urban38 scale
-(1278x1022 imagery, 10 Hz camera, ~200 features, 20-node window with 512
+(1278x1022 imagery, 10 Hz camera, ~200 features in 256-slot tables, 20-node window with 512
 landmarks / 2048 reprojection factors, 20 LM iterations split 5+15):
 
   frontend step: CLAHE + 4-level pyramid + two bidirectional pyramidal LK
-                 batches (landmark + reference tracks, 512-slot tables)
+                 batches (landmark + reference tracks, 256-slot tables)
                  + occupancy mask + blockwise Shi-Tomasi detection
   backend step:  full two-pass sliding-window solve with chi2 surgery
 
@@ -39,7 +39,7 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 W, H = 1278, 1022
-F_MAX = 512
+F_MAX = 256  # track_max_features=200 rounded to the slot table size
 
 
 def _timed_loop(run, make_init, k, reps=3):

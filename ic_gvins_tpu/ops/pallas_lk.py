@@ -1,31 +1,35 @@
 """Pallas TPU kernel for one pyramidal-LK level over a feature batch.
 
 The LK inner loop is the hottest op in the replay pipeline (2 tracker calls
-x fwd/bwd x 4 levels x up-to-30 iterations per frame). The XLA fallback
-(vision/lk.py) re-gathers a 22x22 patch from the full HBM image on every
-iteration; this kernel instead DMAs ONE (64,256) neighbourhood per feature
-into VMEM and runs all iterations on-chip:
+x fwd/bwd x 4 levels x up-to-30 iterations per frame). Design notes from
+measured iterations of this kernel (see CLAUDE.md):
 
-  - block corners are tile-aligned ((8,128) HBM tiling) and arrive via
-    scalar prefetch so the DMAs issue before the body
-  - DMAs run through an NBUF-deep slot ring across grid programs: program f
-    issues the fetch for feature f+NBUF-1 and waits only on its own slot.
-    Per-feature compute (~1 us) is SHORTER than HBM copy latency, so a
-    2-slot double buffer leaves the pipeline latency-bound (~5 us/program
-    measured); a deep ring keeps NBUF-1 copies in flight and the grid
-    throughput-bound
+  - the XLA fallback (vision/lk.py:_track_level) re-gathers a 22x22 patch
+    from HBM every iteration — orders of magnitude slower;
+  - a batched-matmul formulation (banded interpolation sandwiches over all
+    features) wastes the MXU: 24x48 operands pad to 128x128 tiles (~20x
+    idle FLOPs) and measured SLOWER than this kernel;
+  - a first version of this kernel DMA'd one (64,256) block per feature
+    from HBM with a prefetch ring. Per-feature compute is only ~1 us, but
+    2 DMAs x 8192 programs/frame at ~2 us issue/semaphore overhead each
+    dominated everything (a stripped kernel with no compute still took
+    ~30 ms/frame). The fix here: the WHOLE level image is staged into VMEM
+    ONCE per pallas_call (pipeline-managed input block), and each program
+    reads its (64,256) neighbourhood with plain vector loads at a
+    tile-aligned dynamic offset — zero per-feature DMAs.
+
+Per-feature body:
   - alignment of a float position onto the window center uses two dynamic
-    rolls of the full block (integer part, mosaic dynamic_rotate), then a
-    STATIC lane-aligned crop to (32,128), then a 4-shift bilinear blend
-    (fraction) on the crop — per-iteration vector work is 4x smaller than
-    operating on the full block, and everything stays gather-free
+    rolls of the block (integer part, mosaic dynamic_rotate), then a STATIC
+    lane-aligned crop to (32,128), then a 4-shift bilinear blend (fraction)
+    on the crop — everything gather-free
   - template gradients and the 2x2 normal matrix are computed once under a
     static 21x21 mask; each iteration is a handful of masked reductions and
     a 2x2 solve, with per-feature early exit (lax.while_loop) once the step
     drops below EPS — cv::calcOpticalFlowPyrLK's termination criteria
     (tracking.cc:387-388)
 
-Grid: one program per feature.
+Grid: one program per feature; corners arrive via scalar prefetch.
 """
 
 import functools
@@ -36,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN_HALF = 10           # 21x21 window (tracking.cc:386)
-BLK_R, BLK_C = 64, 256  # VMEM neighbourhood block (rows, lanes)
+BLK_R, BLK_C = 64, 256  # per-feature neighbourhood (rows, lanes)
 CY, CX = 32, 64         # alignment target center inside the block
 ROW_OFF, COL_OFF = 28, 32  # corner offsets before tile alignment
 CROP_R0, CROP_C0 = 16, 0   # static crop origin (sublane/lane aligned)
@@ -45,7 +49,9 @@ CCY, CCX = CY - CROP_R0, CX - CROP_C0  # center within the crop (16, 64)
 MAX_ITERS = 30
 EPS = 0.01
 MIN_EIG_THRESHOLD = 1e-4
-NBUF = 8                # DMA slot-ring depth (copies in flight: NBUF-1)
+FPP = 4                 # features per grid program: the mosaic grid-step
+                        # overhead (~us) dominates the ~1 us per-feature
+                        # body, so features are processed in groups
 
 
 def _roll(block, shift, axis):
@@ -88,58 +94,19 @@ def _window_mask(dtype):
     return m.astype(dtype)
 
 
-def _issue_copies(corners_ref, img_prev_ref, img_next_ref,
-                  prev_blk, next_blk, sem, feat_idx, slot):
-    py0 = pl.multiple_of(corners_ref[0, feat_idx], 8)
-    px0 = pl.multiple_of(corners_ref[1, feat_idx], 128)
-    ny0 = pl.multiple_of(corners_ref[2, feat_idx], 8)
-    nx0 = pl.multiple_of(corners_ref[3, feat_idx], 128)
-    cp_prev = pltpu.make_async_copy(
-        img_prev_ref.at[pl.ds(py0, BLK_R), pl.ds(px0, BLK_C)],
-        prev_blk.at[slot], sem.at[jnp.int32(0), slot],
-    )
-    cp_next = pltpu.make_async_copy(
-        img_next_ref.at[pl.ds(ny0, BLK_R), pl.ds(nx0, BLK_C)],
-        next_blk.at[slot], sem.at[jnp.int32(1), slot],
-    )
-    return cp_prev, cp_next
-
-
 def _kernel(corners_ref, feat_ref,
             img_prev_ref, img_next_ref,
-            out_ref,
-            prev_blk, next_blk, sem):
+            out_ref):
     # corners_ref: (4, N) i32 [py0, px0, ny0, nx0]; feat_ref: (8, N) f32
     # [ppx, ppy, gx0, gy0, valid, ...] — transposed layout keeps the SMEM
     # footprint at KBs (an (N,2) SMEM array is padded to 128 lanes per row)
-    f = pl.program_id(0)
-    n = pl.num_programs(0)
-    slot = jax.lax.rem(f, jnp.int32(NBUF))
+    g = pl.program_id(0)
+    for b in range(FPP):
+        _track_one(corners_ref, feat_ref, img_prev_ref, img_next_ref,
+                   out_ref, g * FPP + jnp.int32(b))
 
-    # slot-ring pipeline: program 0 primes slots 0..NBUF-2, every program
-    # prefetches feature f+NBUF-1, every program waits only on its own slot
-    @pl.when(f == 0)
-    def _():
-        for j in range(NBUF - 1):
-            @pl.when(jnp.int32(j) < n)
-            def _():
-                a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
-                                     prev_blk, next_blk, sem,
-                                     jnp.int32(j), jnp.int32(j))
-                a.start()
-                b.start()
 
-    @pl.when(f + NBUF - 1 < n)
-    def _():
-        a, b = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
-                             prev_blk, next_blk, sem,
-                             f + NBUF - 1, jax.lax.rem(f + NBUF - 1, jnp.int32(NBUF)))
-        a.start()
-        b.start()
-
-    cp_prev, cp_next = _issue_copies(corners_ref, img_prev_ref, img_next_ref,
-                                     prev_blk, next_blk, sem, f, slot)
-
+def _track_one(corners_ref, feat_ref, img_prev_ref, img_next_ref, out_ref, f):
     py0 = pl.multiple_of(corners_ref[0, f], 8)
     px0 = pl.multiple_of(corners_ref[1, f], 128)
     ny0 = pl.multiple_of(corners_ref[2, f], 8)
@@ -151,12 +118,13 @@ def _kernel(corners_ref, feat_ref,
     gy0 = feat_ref[3, f]
     v = feat_ref[4, f]
 
-    cp_prev.wait()
-    cp_next.wait()
+    # neighbourhoods: plain vector loads from the VMEM-resident level image
+    pb = img_prev_ref[pl.ds(py0, BLK_R), pl.ds(px0, BLK_C)]
+    nb = img_next_ref[pl.ds(ny0, BLK_R), pl.ds(nx0, BLK_C)]
 
     mask = _window_mask(jnp.float32)
 
-    tpl = _align_crop(prev_blk[slot], ppy - py0.astype(jnp.float32),
+    tpl = _align_crop(pb, ppy - py0.astype(jnp.float32),
                       ppx - px0.astype(jnp.float32))
     gx = 0.5 * (_roll(tpl, -1, 1) - _roll(tpl, 1, 1))
     gy = 0.5 * (_roll(tpl, -1, 0) - _roll(tpl, 1, 0))
@@ -171,7 +139,6 @@ def _kernel(corners_ref, feat_ref,
     ok = (min_eig > MIN_EIG_THRESHOLD) & (jnp.abs(det) > 1e-12) & (v > 0)
     inv_det = jnp.where(jnp.abs(det) > jnp.float32(1e-12), jnp.float32(1.0) / det, jnp.float32(0.0))
 
-    nb = next_blk[slot]
     ny0f = ny0.astype(jnp.float32)
     nx0f = nx0.astype(jnp.float32)
 
@@ -252,20 +219,20 @@ def lk_level_pallas(img_prev, img_next, pts_prev, pts_guess, valid, interpret=Fa
         axis=0,
     )  # (8, N)
 
+    Np = -(-N // FPP) * FPP
+    if Np != N:
+        corners_packed = jnp.pad(corners_packed, ((0, 0), (0, Np - N)))
+        feat_packed = jnp.pad(feat_packed, ((0, 0), (0, Np - N)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N,),
+        grid=(Np // FPP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # feat_packed (scalar reads)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # img_prev stays off-chip
-            pl.BlockSpec(memory_space=pltpu.ANY),   # img_next
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # feat_packed (scalar reads)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole level image resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, BLK_R, BLK_C), jnp.float32),
-            pltpu.VMEM((NBUF, BLK_R, BLK_C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, NBUF)),
-        ],
     )
 
     # trace the pallas_call with x64 disabled: under jax_enable_x64 the
@@ -275,8 +242,8 @@ def lk_level_pallas(img_prev, img_next, pts_prev, pts_guess, valid, interpret=Fa
         out = pl.pallas_call(
             _kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((N, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Np, 128), jnp.float32),
             interpret=interpret,
         )(corners_packed, feat_packed, img_prev, img_next)
 
-    return out[:, :2], out[:, 2] > 0
+    return out[:N, :2], out[:N, 2] > 0

@@ -80,17 +80,148 @@ def _track_level(img_prev, img_next, pts_prev, pts_next, valid):
     return out - _PAD, ok
 
 
-def _use_pallas():
-    """The Pallas LK kernel runs on TPU backends; the XLA gather path is the
-    CPU/interpret fallback."""
+# batched-MXU level tracker -------------------------------------------------
+#
+# One neighbourhood block per feature is gathered ONCE per level, and every
+# LK iteration re-samples the 21x21 bilinear window for ALL features with two
+# batched banded matmuls ("sandwich"): crop = Sy @ block @ Sx, where Sy/Sx
+# are 2-banded interpolation matrices built from the current sub-pixel
+# position. The per-feature serial op chain of the pallas kernel (~5 us *
+# 8k programs/frame, latency-bound on the VPU) becomes a handful of large
+# batched einsums on the MXU; the while_loop exits when EVERY feature has
+# converged (cv's per-feature criteria are kept via active masks).
+
+BLK_ROWS = 48     # gathered block: 21+2 window rows + +-12 drift margin
+BLK_COLS = 128    # one lane tile: +-52 px horizontal drift margin
+CROP = 24         # rows/cols sampled per iteration (23 used + 1 pad)
+
+
+def _bands(local, size):
+    """(F, CROP, size) 2-banded bilinear interpolation matrix: row r samples
+    the block axis at local - (WIN_HALF+1) + r + frac."""
+    i0 = jnp.floor(local).astype(jnp.int32) - (WIN_HALF + 1)
+    frac = (local - jnp.floor(local)).astype(jnp.float32)
+    rows = i0[:, None] + jnp.arange(CROP, dtype=jnp.int32)[None, :]      # (F, CROP)
+    grid = jnp.arange(size, dtype=jnp.int32)[None, None, :]
+    lo = (rows[..., None] == grid).astype(jnp.float32)
+    hi = (rows[..., None] + 1 == grid).astype(jnp.float32)
+    return lo * (1.0 - frac)[:, None, None] + hi * frac[:, None, None]
+
+
+def _sample_crops(blocks, ly, lx):
+    """Bilinear (F, CROP, CROP) windows at local positions (ly, lx)."""
+    Sy = _bands(ly, BLK_ROWS)                       # (F, CROP, BR)
+    Sx = _bands(lx, BLK_COLS)                       # (F, CROP, BC)
+    tmp = jnp.einsum("frk,fkc->frc", Sy, blocks)    # (F, CROP, BC)
+    return jnp.einsum("frc,fwc->frw", tmp, Sx)      # (F, CROP, CROP)
+
+
+def _gather_blocks(img, pts):
+    H, W = img.shape
+    iy = jnp.floor(pts[:, 1]).astype(jnp.int32)
+    ix = jnp.floor(pts[:, 0]).astype(jnp.int32)
+    y0 = jnp.clip(iy - BLK_ROWS // 2, 0, max(H - BLK_ROWS, 0))
+    x0 = jnp.clip(ix - BLK_COLS // 2, 0, max(W - BLK_COLS, 0))
+    blk = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(img, (yy, xx), (BLK_ROWS, BLK_COLS))
+    )(y0, x0)
+    return blk, y0, x0
+
+
+def _track_level_batched(img_prev, img_next, pts_prev, pts_next, valid):
+    """Batched-MXU equivalent of ``_track_level`` (same cv semantics)."""
+    # edge-pad by the window radius so border features sample clamped pixels
+    # (cv border behavior, as in _track_level), and up to the block size for
+    # tiny top pyramid levels
+    H0, W0 = img_prev.shape
+    pr = max(BLK_ROWS - (H0 + 2 * _PAD), 0) + _PAD
+    pc = max(BLK_COLS - (W0 + 2 * _PAD), 0) + _PAD
+    img_prev = jnp.pad(img_prev, ((_PAD, pr), (_PAD, pc)), mode="edge")
+    img_next = jnp.pad(img_next, ((_PAD, pr), (_PAD, pc)), mode="edge")
+
+    img_prev = img_prev.astype(jnp.float32)
+    img_next = img_next.astype(jnp.float32)
+    pts_prev = pts_prev.astype(jnp.float32) + _PAD
+    pts_next = pts_next.astype(jnp.float32) + _PAD
+
+    pblk, py0, px0 = _gather_blocks(img_prev, pts_prev)
+    nblk, ny0, nx0 = _gather_blocks(img_next, pts_next)
+
+    # template + gradients (once)
+    tpl24 = _sample_crops(pblk, pts_prev[:, 1] - py0, pts_prev[:, 0] - px0)
+    tpl = tpl24[:, 1:-2, 1:-2]                               # (F, 21, 21)
+    gx = 0.5 * (tpl24[:, 1:-2, 2:-1] - tpl24[:, 1:-2, 0:-3])
+    gy = 0.5 * (tpl24[:, 2:-1, 1:-2] - tpl24[:, 0:-3, 1:-2])
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    n_px = (2 * WIN_HALF + 1) ** 2
+    min_eig = 0.5 * ((gxx + gyy) - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy * gxy)) / n_px
+    ok = (min_eig > MIN_EIG_THRESHOLD) & (jnp.abs(det) > 1e-12) & valid
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+    ny0f = ny0.astype(jnp.float32)
+    nx0f = nx0.astype(jnp.float32)
+
+    def cond(carry):
+        i, pos, active = carry
+        return (i < MAX_ITERS) & jnp.any(active)
+
+    def body(carry):
+        i, pos, active = carry
+        cur24 = _sample_crops(nblk, pos[:, 1] - ny0f, pos[:, 0] - nx0f)
+        diff = cur24[:, 1:-2, 1:-2] - tpl
+        bx = jnp.sum(diff * gx, axis=(1, 2))
+        by = jnp.sum(diff * gy, axis=(1, 2))
+        dx = -(gyy * bx - gxy * by) * inv_det
+        dy = -(gxx * by - gxy * bx) * inv_det
+        step = jnp.stack([dx, dy], axis=1)
+        # cv semantics: apply the step, THEN stop once it fell below EPS
+        pos = pos + step * (active & ok)[:, None]
+        active = active & (jnp.linalg.norm(step, axis=1) >= EPS)
+        return (i + 1, pos, active)
+
+    _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pts_next, jnp.asarray(valid))
+    )
+
+    # fail tracks whose window would leave the gathered block
+    ly = out[:, 1] - ny0f
+    lx = out[:, 0] - nx0f
+    inside = (
+        (ly >= WIN_HALF + 1.0) & (ly <= BLK_ROWS - WIN_HALF - 2.0)
+        & (lx >= WIN_HALF + 1.0) & (lx <= BLK_COLS - WIN_HALF - 2.0)
+    )
+    return out - _PAD, ok & inside
+
+
+def _level_fn():
+    """Pick the per-level tracker implementation.
+
+    Default ("auto"): the VMEM-resident pallas kernel on TPU (fastest
+    measured — the batched-matmul formulation pads its small operands onto
+    128x128 MXU tiles and loses), the batched sandwich tracker on CPU
+    (vectorized over features; much faster than the per-feature gather
+    reference under vmap). Overridable for A/B:
+    ICGVINS_LK=pallas | gather | batched | auto."""
     import os
 
-    if os.environ.get("ICGVINS_DISABLE_PALLAS_LK"):
-        return False
+    choice = os.environ.get("ICGVINS_LK", "auto")
+    on_tpu = False
     try:
-        return jax.default_backend() not in ("cpu",)
+        on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
-        return False
+        pass
+    if choice == "auto":
+        choice = "pallas" if on_tpu else "batched"
+    if choice == "pallas" and on_tpu:
+        from ..ops.pallas_lk import lk_level_pallas
+
+        return lk_level_pallas
+    if choice == "gather":
+        return _track_level
+    return _track_level_batched
 
 
 @partial(jax.jit, static_argnames=("levels",))
@@ -99,10 +230,7 @@ def pyr_lk(pyr_prev, pyr_next, pts_prev, pts_init, valid, levels=PYRAMID_LEVELS)
     (USE_INITIAL_FLOW). pyramids: lists of (H/2^l, W/2^l) images.
 
     Returns (pts_next, status)."""
-    if _use_pallas():
-        from ..ops.pallas_lk import lk_level_pallas as level_fn
-    else:
-        level_fn = _track_level
+    level_fn = _level_fn()
     pts_prev = pts_prev.astype(pyr_prev[0].dtype)
     pts_init = pts_init.astype(pyr_prev[0].dtype)
     scale = 2.0 ** (levels - 1)

@@ -126,9 +126,13 @@ def clahe(img, clip_limit=3.0, tile=21, nbins=256):
     Hp, Wp = th * ty, tw * tx
     padded = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
 
-    tiles = padded.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(ty * tx, th * tw)
-    idx = jnp.clip(tiles.astype(jnp.int32), 0, nbins - 1)
-    hist = jax.vmap(lambda t: jnp.zeros(nbins, jnp.float32).at[t].add(1.0))(idx)
+    # pixels grouped by tile + the (T, P, 256) one-hot used BOTH for the
+    # histograms (reduction over pixels — scatter-adds serialize on TPU and
+    # dominated the whole frontend) and the LUT lookup below
+    v = jnp.clip(padded.astype(jnp.int32), 0, nbins - 1)
+    v = v.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(ty * tx, th * tw)
+    onehot = jax.nn.one_hot(v, nbins, dtype=jnp.bfloat16)
+    hist = jnp.sum(onehot, axis=1, dtype=jnp.float32)
 
     # clip + redistribute (cv semantics: clipLimit scaled by tile area / bins)
     limit = jnp.maximum(clip_limit * (th * tw) / nbins, 1.0)
@@ -140,11 +144,8 @@ def clahe(img, clip_limit=3.0, tile=21, nbins=256):
     lut = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1.0) * 255.0
     lut = lut.reshape(ty, tx, nbins)
 
-    # pixels grouped by tile; all 9 neighbor-LUT lookups per pixel in one
-    # batched (T, P, 256) x (T, 256, 9) matmul over the one-hot pixel values
-    v = jnp.clip(padded.astype(jnp.int32), 0, nbins - 1)
-    v = v.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(ty * tx, th * tw)
-    onehot = jax.nn.one_hot(v, nbins, dtype=jnp.bfloat16)
+    # all 9 neighbor-LUT lookups per pixel in one batched
+    # (T, P, 256) x (T, 256, 9) matmul over the one-hot pixel values
     lutp = jnp.pad(lut, ((1, 1), (1, 1), (0, 0)), mode="edge")
     lut9 = jnp.stack(
         [

@@ -52,15 +52,22 @@ TRACK_LOST = 4
 
 
 class Tracker:
-    def __init__(self, camera: cam.PinholeCamera, vmap: VisualMap, cfg, F_MAX=512):
+    def __init__(self, camera: cam.PinholeCamera, vmap: VisualMap, cfg, F_MAX=None):
         """cfg: GvinsConfig (track_* + reprojection_error_std fields)."""
         self.cam = camera
         self.map = vmap
-        self.F_MAX = F_MAX
 
         self.check_histogram = cfg.track_check_histogram
         self.min_parallax = cfg.track_min_parallax
         self.max_features = cfg.track_max_features
+        # feature-slot table sized to the configured budget (power-of-two
+        # padding): LK cost is linear in slots, so a fixed 512 wastes ~2x
+        # at the reference's track_max_features=200
+        if F_MAX is None:
+            F_MAX = 64
+            while F_MAX < cfg.track_max_features * 1.25:
+                F_MAX *= 2
+        self.F_MAX = F_MAX
         self.max_interval = cfg.track_max_interval * 0.95
         self.reproj_std = cfg.reprojection_error_std
 
