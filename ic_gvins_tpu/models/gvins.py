@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import quaternion as quat
+from ..core import rotation_np
 from ..engine.config import GvinsConfig, NORMAL_GRAVITY
 from ..factors import marginalization as marg
 from ..solver.problem import ReprojTable, WindowConfig
@@ -65,7 +66,7 @@ class GvinsModel(GinsModel):
         self.tracker = Tracker(self.camera, self.vmap, cfg)
 
         q = np.asarray(cfg.cam0.q_b_c, np.float64)
-        self.pose_b_c_R = np.asarray(quat.to_matrix(jnp.asarray(q / np.linalg.norm(q))))
+        self.pose_b_c_R = rotation_np.to_matrix(q / np.linalg.norm(q))
         self.pose_b_c_t = np.asarray(cfg.cam0.t_b_c, np.float64)
         self.td_b_c = float(cfg.cam0.td_b_c)
         self.reproj_sqrt_info = float(self.camera.focal_length) / cfg.reprojection_error_std
@@ -182,7 +183,7 @@ class GvinsModel(GinsModel):
 
         # INS prior pose -> camera pose (runTracking, ic_gvins.cc:525-533)
         p, q = self.prop.pose_interpolated(t_frame)
-        Rwb = np.asarray(quat.to_matrix(jnp.asarray(q)))
+        Rwb = rotation_np.to_matrix(q)
         frame.R = Rwb @ self.pose_b_c_R
         frame.t = p + Rwb @ self.pose_b_c_t
 
@@ -399,7 +400,7 @@ class GvinsModel(GinsModel):
             ref_obs = ref.features.get(lm_id)
             if ref_obs is None:
                 continue
-            pc0 = np.asarray(vcam.pixel2cam(self.camera, jnp.asarray(ref_obs.undis)))
+            pc0 = vcam.pixel2cam(self.camera, np.asarray(ref_obs.undis))
             for obs in lm.observations:
                 f = obs.frame
                 if obs.outlier or f is ref or not f.is_keyframe:
@@ -411,7 +412,7 @@ class GvinsModel(GinsModel):
                     continue
                 if len(rows["ref_idx"]) >= wc.R:
                     break
-                pc1 = np.asarray(vcam.pixel2cam(self.camera, jnp.asarray(obs.undis)))
+                pc1 = vcam.pixel2cam(self.camera, np.asarray(obs.undis))
                 rows["ref_idx"].append(ref_node)
                 rows["obs_idx"].append(obs_node)
                 rows["lm_idx"].append(slot)
@@ -446,7 +447,7 @@ class GvinsModel(GinsModel):
         t0 = _time.perf_counter()
         est = self.est
         # sync extrinsic into the estimator parameters
-        q_bc = np.asarray(quat.from_matrix(jnp.asarray(self.pose_b_c_R)))
+        q_bc = rotation_np.from_matrix(self.pose_b_c_R)
         est.ext = np.concatenate([self.pose_b_c_t, q_bc])
         est.td = self.td_b_c
 
@@ -490,14 +491,14 @@ class GvinsModel(GinsModel):
         if self.cfg.optimize_estimate_extrinsic and self.state == "TRACKING_NORMAL":
             ext = np.asarray(params.ext)
             t_new = ext[:3]
-            R_new = np.asarray(quat.to_matrix(jnp.asarray(ext[3:7] / np.linalg.norm(ext[3:7]))))
+            R_new = rotation_np.to_matrix(ext[3:7] / np.linalg.norm(ext[3:7]))
             dt = np.linalg.norm(t_new - self.pose_b_c_t)
-            dq = np.asarray(quat.from_matrix(jnp.asarray(R_new @ self.pose_b_c_R.T)))
+            dq = rotation_np.from_matrix(R_new @ self.pose_b_c_R.T)
             dr = np.linalg.norm(dq[:3]) * 2.0 * R2D
             if dt <= 1.0 and dr <= 5.0:
                 self.pose_b_c_R, self.pose_b_c_t = R_new, t_new
             if self.out:
-                euler = np.asarray(quat.matrix_to_euler(jnp.asarray(R_new))) * R2D
+                euler = rotation_np.matrix_to_euler(R_new) * R2D
                 self.out.write_extrinsic(est.times[est.n_nodes - 1], t_new, euler, self.td_b_c)
 
         # keyframe poses from node states
@@ -506,7 +507,7 @@ class GvinsModel(GinsModel):
             if k < 0:
                 continue
             p, q = est.poses[k, :3], est.poses[k, 3:7]
-            Rwb = np.asarray(quat.to_matrix(jnp.asarray(q)))
+            Rwb = rotation_np.to_matrix(q)
             kf.R = Rwb @ self.pose_b_c_R
             kf.t = p + Rwb @ self.pose_b_c_t
 
@@ -522,7 +523,7 @@ class GvinsModel(GinsModel):
             if not np.isfinite(invdepth) or invdepth == 0:
                 continue
             depth = 1.0 / invdepth
-            pc = np.asarray(vcam.pixel2cam(self.camera, jnp.asarray(lm.ref_undis))) * depth
+            pc = vcam.pixel2cam(self.camera, np.asarray(lm.ref_undis)) * depth
             lm.pos = lm.ref_frame.R @ pc + lm.ref_frame.t
             lm.update_depth(depth)
 
@@ -541,12 +542,7 @@ class GvinsModel(GinsModel):
                 if obs.outlier or not f.is_keyframe or not self.vmap.is_keyframe_in_map(f):
                     continue
                 err = np.linalg.norm(
-                    np.asarray(
-                        vcam.reprojection_error(
-                            self.camera, jnp.asarray(f.R), jnp.asarray(f.t),
-                            jnp.asarray(lm.pos), jnp.asarray(obs.undis),
-                        )
-                    )
+                    vcam.reprojection_error(self.camera, f.R, f.t, lm.pos, obs.undis)
                 )
                 if not self._good_obs(obs.undis, f, lm.pos):
                     obs.outlier = True
@@ -580,9 +576,7 @@ class GvinsModel(GinsModel):
 
         if not (NEAREST_DEPTH < pc[2] < FARTHEST_DEPTH):
             return False
-        proj = np.asarray(
-            vcam.world2pixel(self.camera, jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pw))
-        )
+        proj = vcam.world2pixel(self.camera, frame.R, frame.t, pw)
         return np.linalg.norm(proj - und_px) <= self.cfg.reprojection_error_std * scale
 
     # ------------------------------------------------------------------
@@ -657,12 +651,7 @@ class GvinsModel(GinsModel):
                 if obs.outlier or not f.is_keyframe or not self.vmap.is_keyframe_in_map(f):
                     continue
                 e = np.linalg.norm(
-                    np.asarray(
-                        vcam.reprojection_error(
-                            self.camera, jnp.asarray(f.R), jnp.asarray(f.t),
-                            jnp.asarray(lm.pos), jnp.asarray(obs.undis),
-                        )
-                    )
+                    vcam.reprojection_error(self.camera, f.R, f.t, lm.pos, obs.undis)
                 )
                 obs_errs.append(e)
             if obs_errs:

@@ -1,27 +1,41 @@
-"""Pinhole camera with radial-tangential distortion (batched jnp).
+"""Pinhole camera with radial-tangential distortion.
 
 Parity target: tracking/camera.{h,cc} (pixel2cam/cam2pixel with skew,
 radtan distort with k1,k2,k3,p1,p2, iterative undistortPoints, world<->cam,
 reprojection error). All functions broadcast over leading batch dims; points
 are (..., 2) pixels or (..., 3) camera rays with z=1.
+
+Array-library agnostic by design: the point math is pure elementwise algebra,
+so every function dispatches on the input array type — numpy in, numpy out
+(zero device dispatches for the host-side graph bookkeeping that evaluates
+camera math per frame/landmark), jnp/tracer in, jnp out (the jitted device
+pipeline). Camera parameters are stored as python floats so they combine
+with either. Image-scale ops (rectify map, undistortion remap) stay jnp —
+that work belongs on the device.
 """
 
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def _ns(x):
+    """numpy for host ndarrays, jnp for device arrays / tracers."""
+    return np if isinstance(x, (np.ndarray, np.generic, float, int, list, tuple)) else jnp
 
 
 class PinholeCamera(NamedTuple):
-    fx: jnp.ndarray
-    fy: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
-    skew: jnp.ndarray
-    k1: jnp.ndarray
-    k2: jnp.ndarray
-    k3: jnp.ndarray
-    p1: jnp.ndarray
-    p2: jnp.ndarray
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    skew: float
+    k1: float
+    k2: float
+    k3: float
+    p1: float
+    p2: float
     width: int
     height: int
 
@@ -31,12 +45,11 @@ class PinholeCamera(NamedTuple):
         (camera.cc:48-70)."""
         skew = intrinsic[4] if len(intrinsic) > 4 else 0.0
         k3 = distortion[4] if len(distortion) > 4 else 0.0
-        f = jnp.asarray
         return PinholeCamera(
-            fx=f(float(intrinsic[0])), fy=f(float(intrinsic[1])),
-            cx=f(float(intrinsic[2])), cy=f(float(intrinsic[3])), skew=f(float(skew)),
-            k1=f(float(distortion[0])), k2=f(float(distortion[1])),
-            k3=f(k3), p1=f(float(distortion[2])), p2=f(float(distortion[3])),
+            fx=float(intrinsic[0]), fy=float(intrinsic[1]),
+            cx=float(intrinsic[2]), cy=float(intrinsic[3]), skew=float(skew),
+            k1=float(distortion[0]), k2=float(distortion[1]),
+            k3=float(k3), p1=float(distortion[2]), p2=float(distortion[3]),
             width=int(resolution[0]), height=int(resolution[1]),
         )
 
@@ -47,38 +60,43 @@ class PinholeCamera(NamedTuple):
 
 def pixel2cam(cam: PinholeCamera, px):
     """Pixel -> normalized plane (z=1), skew-aware (camera.cc:123-127)."""
+    xp = _ns(px)
     y = (px[..., 1] - cam.cy) / cam.fy
     x = (px[..., 0] - cam.cx - cam.skew * y) / cam.fx
-    return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return xp.stack([x, y, xp.ones_like(x)], axis=-1)
 
 
 def cam2pixel(cam: PinholeCamera, pc):
     """Normalized/camera point -> pixel (camera.cc:129-131)."""
+    xp = _ns(pc)
     u = (cam.fx * pc[..., 0] + cam.skew * pc[..., 1]) / pc[..., 2] + cam.cx
     v = cam.fy * pc[..., 1] / pc[..., 2] + cam.cy
-    return jnp.stack([u, v], axis=-1)
+    return xp.stack([u, v], axis=-1)
 
 
 def distort_normalized(cam: PinholeCamera, xy):
     """Apply radtan distortion on normalized coords (camera.cc:76-117)."""
+    xp = _ns(xy)
     x, y = xy[..., 0], xy[..., 1]
     r2 = x * x + y * y
     rr = 1.0 + cam.k1 * r2 + cam.k2 * r2 * r2 + cam.k3 * r2 * r2 * r2
     xd = x * rr + 2 * cam.p1 * x * y + cam.p2 * (r2 + 2 * x * x)
     yd = y * rr + cam.p1 * (r2 + 2 * y * y) + 2 * cam.p2 * x * y
-    return jnp.stack([xd, yd], axis=-1)
+    return xp.stack([xd, yd], axis=-1)
 
 
 def distort_points(cam: PinholeCamera, px):
     """Undistorted pixel -> distorted pixel (Camera::distortPoints)."""
+    xp = _ns(px)
     pc = pixel2cam(cam, px)
     xy = distort_normalized(cam, pc[..., :2])
-    return cam2pixel(cam, jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1))
+    return cam2pixel(cam, xp.concatenate([xy, xp.ones_like(xy[..., :1])], axis=-1))
 
 
 def undistort_points(cam: PinholeCamera, px, iters=8):
     """Distorted pixel -> undistorted pixel via fixed-point inversion (the
     cv::undistortPoints iteration, camera.cc:72-74)."""
+    xp = _ns(px)
     pd = pixel2cam(cam, px)[..., :2]
     xy = pd
     for _ in range(iters):
@@ -87,17 +105,17 @@ def undistort_points(cam: PinholeCamera, px, iters=8):
         rr = 1.0 + cam.k1 * r2 + cam.k2 * r2 * r2 + cam.k3 * r2 * r2 * r2
         dx = 2 * cam.p1 * x * y + cam.p2 * (r2 + 2 * x * x)
         dy = cam.p1 * (r2 + 2 * y * y) + 2 * cam.p2 * x * y
-        xy = jnp.stack([(pd[..., 0] - dx) / rr, (pd[..., 1] - dy) / rr], axis=-1)
-    return cam2pixel(cam, jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1))
+        xy = xp.stack([(pd[..., 0] - dx) / rr, (pd[..., 1] - dy) / rr], axis=-1)
+    return cam2pixel(cam, xp.concatenate([xy, xp.ones_like(xy[..., :1])], axis=-1))
 
 
 def world2cam(R, t, pw):
     """pc = R^T (pw - t) (camera.cc:145-147)."""
-    return jnp.einsum("...ji,...j->...i", R, pw - t)
+    return _ns(pw).einsum("...ji,...j->...i", R, pw - t)
 
 
 def cam2world(R, t, pc):
-    return jnp.einsum("...ij,...j->...i", R, pc) + t
+    return _ns(pc).einsum("...ij,...j->...i", R, pc) + t
 
 
 def world2pixel(cam: PinholeCamera, R, t, pw):
@@ -111,8 +129,9 @@ def reprojection_error(cam: PinholeCamera, R, t, pw, px_undistorted):
 
 def pixel2unitcam(cam: PinholeCamera, px):
     """Pixel -> unit-norm camera ray (camera.cc:135-137)."""
+    xp = _ns(px)
     pc = pixel2cam(cam, px)
-    return pc / jnp.linalg.norm(pc, axis=-1, keepdims=True)
+    return pc / xp.linalg.norm(pc, axis=-1, keepdims=True)
 
 
 def pixel2world(cam: PinholeCamera, R, t, px):

@@ -106,18 +106,22 @@ class Tracker:
     # helpers
     # ------------------------------------------------------------------
 
+    # host camera math is pure numpy (vision/camera.py dispatches on the
+    # array type) — the frame path used to pay one device dispatch per
+    # conversion, thousands per second of pure latency at 200 features
+
     def _undis(self, pts):
         if len(pts) == 0:
             return np.zeros((0, 2))
-        return np.asarray(cam.undistort_points(self.cam, jnp.asarray(pts, jnp.float64)))
+        return cam.undistort_points(self.cam, np.asarray(pts, np.float64))
 
     def _dis(self, pts):
         if len(pts) == 0:
             return np.zeros((0, 2))
-        return np.asarray(cam.distort_points(self.cam, jnp.asarray(pts, jnp.float64)))
+        return cam.distort_points(self.cam, np.asarray(pts, np.float64))
 
     def _pixel2cam(self, pts):
-        return np.asarray(cam.pixel2cam(self.cam, jnp.asarray(pts, jnp.float64)))
+        return cam.pixel2cam(self.cam, np.asarray(pts, np.float64))
 
     def _pad(self, pts, n=None):
         n = n or self.F_MAX
@@ -131,10 +135,13 @@ class Tracker:
 
     def _keypoint_parallax(self, und0, und1, R0, R1):
         """Rotation-compensated pixel parallax (tracking.cc:861-871).
-        und0/und1: (...,2) undistorted pixels."""
+        und0/und1: (...,2) undistorted pixels; R0 may be batched (n,3,3)."""
         pc0 = self._pixel2cam(np.atleast_2d(und0))
         pc1 = self._pixel2cam(np.atleast_2d(und1))
-        pc01 = pc0 @ (R1.T @ R0).T
+        if np.ndim(R0) == 3:
+            pc01 = np.einsum("ij,njk,nk->ni", R1.T, R0, pc0)
+        else:
+            pc01 = pc0 @ (R1.T @ R0).T
         d = pc01[:, :2] / pc01[:, 2:3] - pc1[:, :2]
         return np.linalg.norm(d, axis=1) * float(self.cam.focal_length)
 
@@ -254,7 +261,7 @@ class Tracker:
         # predict from landmark positions through the frame's INS prior pose
         pos_w = np.stack([lm.pos for lm in lms])
         pc = (pos_w - self.frame_cur.t) @ self.frame_cur.R
-        pred_und = np.asarray(cam.cam2pixel(self.cam, jnp.asarray(pc)))
+        pred_und = cam.cam2pixel(self.cam, pc)
         pred_dis = self._dis(pred_und)
 
         nxt, ok = self._track_pairs(pts_prev_dis, pred_dis)
@@ -315,10 +322,8 @@ class Tracker:
         und = self._undis(pts_new)
         pc_pre = self._pixel2cam(und)
         pc_cur = pc_pre @ r_cur_pre.T
-        xy = np.asarray(cam.distort_normalized(self.cam, jnp.asarray(pc_cur[:, :2] / pc_cur[:, 2:3])))
-        pred = np.asarray(
-            cam.cam2pixel(self.cam, jnp.asarray(np.concatenate([xy, np.ones((len(xy), 1))], axis=1)))
-        )
+        xy = cam.distort_normalized(self.cam, pc_cur[:, :2] / pc_cur[:, 2:3])
+        pred = cam.cam2pixel(self.cam, np.concatenate([xy, np.ones((len(xy), 1))], axis=1))
 
         nxt, ok = self._track_pairs(pts_new, pred)
         self._reduce(ok)
@@ -392,9 +397,9 @@ class Tracker:
                 lm.used_times += 1
             rel_t = float(np.linalg.norm(self.frame_cur.t - self.frame_ref.t))
             R = self.frame_cur.R.T @ self.frame_ref.R
-            from ..core import quaternion as quat
+            from ..core import rotation_np
 
-            euler = np.asarray(quat.matrix_to_euler(jnp.asarray(R)))
+            euler = rotation_np.matrix_to_euler(R)
             rel_r = abs(float(euler[1])) * 180.0 / math.pi
             self.logging_row = [self.frame_cur.stamp, dt, parallax, rel_t, rel_r]
         return state
@@ -410,6 +415,10 @@ class Tracker:
 
         keep = np.zeros(n, bool)
         tri_idx = []
+        # batched rotation-compensated parallax for ALL candidates in one
+        # numpy pass (was one device round-trip per feature)
+        ref_R = np.stack([f.R for f in self.ref_frames])
+        par_all = self._keypoint_parallax(und_ref, und_cur, ref_R, self.frame_cur.R)
         for k in range(n):
             fref = self.ref_frames[k]
             if fref.id > self.frame_ref.id:
@@ -421,8 +430,7 @@ class Tracker:
             if self.map.is_window_normal() and fref.kf_id is not None and not self.map.is_keyframe_in_map(fref):
                 keep[k] = False
                 continue
-            par = self._keypoint_parallax(und_ref[k], und_cur[k], fref.R, self.frame_cur.R)[0]
-            if par < TRACK_MIN_PARALLAX:
+            if par_all[k] < TRACK_MIN_PARALLAX:
                 keep[k] = True
                 continue
             tri_idx.append(k)
@@ -441,12 +449,14 @@ class Tracker:
                     jnp.asarray(pc0), jnp.asarray(pc1),
                 )
             )
+            # batched two-view depth/reprojection gating (tracking.cc:813-829)
+            good = self._good_to_track_batch(und_ref[idx], R0, t0, pw, 1.0, 3.0)
+            good &= self._good_to_track_batch(
+                und_cur[idx], self.frame_cur.R, self.frame_cur.t, pw, 1.0, 3.0
+            )
             for j, k in enumerate(tri_idx):
                 fref = self.ref_frames[k]
-                if not (
-                    self._good_to_track(und_ref[k], fref.R, fref.t, pw[j], 1.0, 3.0)
-                    and self._good_to_track(und_cur[k], self.frame_cur.R, self.frame_cur.t, pw[j], 1.0, 3.0)
-                ):
+                if not good[j]:
                     keep[k] = False
                     continue
                 keep[k] = False
@@ -476,8 +486,21 @@ class Tracker:
         pc = R.T @ (pw - t)
         if not (NEAREST_DEPTH < pc[2] < FARTHEST_DEPTH * depth_scale):
             return False
-        proj = np.asarray(cam.world2pixel(self.cam, jnp.asarray(R), jnp.asarray(t), jnp.asarray(pw)))
+        proj = cam.world2pixel(self.cam, R, t, pw)
         return np.linalg.norm(proj - und_px) <= self.reproj_std * scale
+
+    def _good_to_track_batch(self, und_px, R, t, pw, scale, depth_scale):
+        """Vectorized _good_to_track over (m,) points; R/t may be per-point
+        (m,3,3)/(m,3) or shared (3,3)/(3,)."""
+        if np.ndim(R) == 3:
+            pc = np.einsum("nji,nj->ni", R, pw - t)
+        else:
+            pc = (pw - t) @ R
+        depth_ok = (pc[:, 2] > NEAREST_DEPTH) & (pc[:, 2] < FARTHEST_DEPTH * depth_scale)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = cam.cam2pixel(self.cam, pc)
+            err = np.linalg.norm(proj - und_px, axis=-1)
+        return depth_ok & np.isfinite(err) & (err <= self.reproj_std * scale)
 
     def features_detection(self, frame, ismask=True):
         """tracking.cc:576-688."""
