@@ -15,6 +15,7 @@ materialize the 7th. Everything vmaps over a factor-table axis.
 import jax.numpy as jnp
 
 from ..core import quaternion as quat
+from ..core.smallmat import mm, mv
 from .robust import correct_block  # noqa: F401  (re-export convenience)
 
 NUM_RES = 15
@@ -25,8 +26,9 @@ def _lr_corner(a, b):
     quaternion left/right product matrices (rotation.h:103-119)."""
     av, aw = a[..., :3], a[..., 3]
     bv, bw = b[..., :3], b[..., 3]
-    blk = (aw[..., None, None] * jnp.eye(3) + quat.skew(av)) @ (
-        bw[..., None, None] * jnp.eye(3) - quat.skew(bv)
+    blk = mm(
+        aw[..., None, None] * jnp.eye(3) + quat.skew(av),
+        bw[..., None, None] * jnp.eye(3) - quat.skew(bv),
     )
     return blk - av[..., :, None] * bv[..., None, :]
 
@@ -38,9 +40,9 @@ def _split(pose, mix):
 def _corrected(summ, bg, ba):
     dbg = bg - summ.bg0
     dba = ba - summ.ba0
-    cp = summ.dp + summ.dp_dba @ dba + summ.dp_dbg @ dbg
-    cv = summ.dv + summ.dv_dba @ dba + summ.dv_dbg @ dbg
-    cq = quat.mul(summ.dq, quat.from_rotvec(summ.dq_dbg @ dbg))
+    cp = summ.dp + mv(summ.dp_dba, dba) + mv(summ.dp_dbg, dbg)
+    cv = summ.dv + mv(summ.dv_dba, dba) + mv(summ.dv_dbg, dbg)
+    cq = quat.mul(summ.dq, quat.from_rotvec(mv(summ.dq_dbg, dbg)))
     return cp, cv, cq
 
 
@@ -55,8 +57,8 @@ def residual(summ, pose0, mix0, pose1, mix1, *, with_earth: bool):
 
     if with_earth:
         iewn_skew = quat.skew(summ.iewn)
-        p_cor = 2.0 * iewn_skew @ (summ.sum_dtpn - dt * p0)
-        v_cor = 2.0 * iewn_skew @ (p1 - p0)
+        p_cor = 2.0 * mv(iewn_skew, summ.sum_dtpn - dt * p0)
+        v_cor = 2.0 * mv(iewn_skew, p1 - p0)
         qnn = quat.from_rotvec(-summ.iewn * dt)
         dpn = p1 - p0 - v0 * dt - 0.5 * g * dt * dt + p_cor
         dvn = v1 - v0 - g * dt + v_cor
@@ -72,7 +74,7 @@ def residual(summ, pose0, mix0, pose1, mix1, *, with_earth: bool):
         r_q = 2.0 * quat.mul(quat.conj(cq), quat.mul(quat.conj(q0), q1))[..., :3]
 
     r = jnp.concatenate([r_p, r_v, r_q, bg1 - bg0, ba1 - ba0], axis=-1)
-    return summ.sqrt_info @ r
+    return mv(summ.sqrt_info, r)
 
 
 def jacobians(summ, pose0, mix0, pose1, mix1, *, with_earth: bool):
@@ -94,38 +96,39 @@ def jacobians(summ, pose0, mix0, pose1, mix1, *, with_earth: bool):
 
     if with_earth:
         iewn_skew = quat.skew(summ.iewn)
-        p_cor = 2.0 * iewn_skew @ (summ.sum_dtpn - dt * p0)
-        v_cor = 2.0 * iewn_skew @ (p1 - p0)
+        p_cor = 2.0 * mv(iewn_skew, summ.sum_dtpn - dt * p0)
+        v_cor = 2.0 * mv(iewn_skew, p1 - p0)
         qnn = quat.from_rotvec(-summ.iewn * dt)
         dpn = p1 - p0 - v0 * dt - 0.5 * g * dt * dt + p_cor
         dvn = v1 - v0 - g * dt + v_cor
         qb0b1 = quat.mul(quat.conj(q1), quat.mul(qnn, q0))
+        cnb0_iewn = mm(cnb0, iewn_skew)
 
-        Jp0 = Jp0.at[0:3, 0:3].set(-cnb0 - 2.0 * cnb0 @ iewn_skew * dt)
-        Jp0 = Jp0.at[0:3, 3:6].set(quat.skew(cnb0 @ dpn))
-        Jp0 = Jp0.at[3:6, 0:3].set(-2.0 * cnb0 @ iewn_skew)
-        Jp0 = Jp0.at[3:6, 3:6].set(quat.skew(cnb0 @ dvn))
+        Jp0 = Jp0.at[0:3, 0:3].set(-cnb0 - 2.0 * cnb0_iewn * dt)
+        Jp0 = Jp0.at[0:3, 3:6].set(quat.skew(mv(cnb0, dpn)))
+        Jp0 = Jp0.at[3:6, 0:3].set(-2.0 * cnb0_iewn)
+        Jp0 = Jp0.at[3:6, 3:6].set(quat.skew(mv(cnb0, dvn)))
         Jp0 = Jp0.at[6:9, 3:6].set(_lr_corner(qb0b1, cq))
 
         Jp1 = Jp1.at[0:3, 0:3].set(cnb0)
-        Jp1 = Jp1.at[3:6, 0:3].set(2.0 * cnb0 @ iewn_skew)
+        Jp1 = Jp1.at[3:6, 0:3].set(2.0 * cnb0_iewn)
         Jp1 = Jp1.at[6:9, 3:6].set(-quat.right33(quat.mul(qb0b1, cq)))
 
-        rot_block_m0 = quat.left33(quat.mul(qb0b1, summ.dq)) @ summ.dq_dbg
+        rot_block_m0 = mm(quat.left33(quat.mul(qb0b1, summ.dq)), summ.dq_dbg)
     else:
         dpn = p1 - p0 - v0 * dt - 0.5 * g * dt * dt
         dvn = v1 - v0 - g * dt
 
         Jp0 = Jp0.at[0:3, 0:3].set(-cnb0)
-        Jp0 = Jp0.at[0:3, 3:6].set(quat.skew(cnb0 @ dpn))
-        Jp0 = Jp0.at[3:6, 3:6].set(quat.skew(cnb0 @ dvn))
+        Jp0 = Jp0.at[0:3, 3:6].set(quat.skew(mv(cnb0, dpn)))
+        Jp0 = Jp0.at[3:6, 3:6].set(quat.skew(mv(cnb0, dvn)))
         q10 = quat.mul(quat.conj(q1), q0)
         Jp0 = Jp0.at[6:9, 3:6].set(-_lr_corner(q10, cq))
 
         Jp1 = Jp1.at[0:3, 0:3].set(cnb0)
         Jp1 = Jp1.at[6:9, 3:6].set(quat.left33(quat.mul(quat.conj(cq), quat.mul(quat.conj(q0), q1))))
 
-        rot_block_m0 = -quat.left33(quat.mul(quat.conj(q1), quat.mul(q0, summ.dq))) @ summ.dq_dbg
+        rot_block_m0 = -mm(quat.left33(quat.mul(quat.conj(q1), quat.mul(q0, summ.dq))), summ.dq_dbg)
 
     Jm0 = Jm0.at[0:3, 0:3].set(-cnb0 * dt)
     Jm0 = Jm0.at[0:3, 3:6].set(-summ.dp_dbg)
@@ -142,4 +145,4 @@ def jacobians(summ, pose0, mix0, pose1, mix1, *, with_earth: bool):
     Jm1 = Jm1.at[12:15, 6:9].set(I3)
 
     U = summ.sqrt_info
-    return U @ Jp0, U @ Jm0, U @ Jp1, U @ Jm1
+    return mm(U, Jp0), mm(U, Jm0), mm(U, Jp1), mm(U, Jm1)

@@ -539,10 +539,19 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     returns (Hss (Ds,Ds), Hsl (Ds,L), hll (L,), b (D,), act (D,)).
 
     Same math as ``build_normal_equations`` but sized for the solver's Schur
-    structure: the reprojection pose-pose contributions are accumulated with
-    segment-sum one-hot contractions (MXU matmuls over small node/pair/
-    landmark one-hots) instead of scattering R x 20 x 20 elements into a
-    dense (D,D) — scatters on TPU serialized and dominated the backend.
+    structure and assembled WITHOUT any data-dependent scatter: XLA:TPU
+    lowers scatter-add to a serialized per-index loop, and the (P,30,30)
+    preintegration window scatter plus the (R,6)-row reprojection scatters
+    alone cost ~8 ms/iteration at production sizing. Instead
+      - preintegration places its four 15x15 blocks on the static node band
+        (slot k always couples nodes k,k+1 — engine/estimator.py:188) via
+        shifted-eye mask embeds;
+      - reprojection/GNSS contributions are segment-summed with one-hot
+        matmuls on the MXU (f32 — H only preconditions the LM step; the LM
+        loop re-evaluates the true f64 cost for every candidate step, and
+        the reprojection factor pipeline is f32 by design);
+      - the final Hss/Hsl/b are pure concatenations of the node-block
+        tensor, the ext/td tail, and the landmark column.
     The landmark-landmark block is diagonal by construction (each factor
     touches one landmark; the marginalization prior's landmark block is
     diagonal too — marginalized landmarks leave the prior entirely, as in
@@ -550,23 +559,47 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     ic_gvins.cc:1629-1676)."""
     Ds = cfg.lm_off
     N, L, R = cfg.N, cfg.L, cfg.R
-    Hss = jnp.zeros((Ds, Ds))
-    Hsl = jnp.zeros((Ds, L))
-    hll = jnp.zeros(L)
-    b = jnp.zeros(cfg.D)
+    ND = NODE_DIM
+    f32, f64 = jnp.float32, jnp.float64
 
-    # ---- GNSS (3 res, 6 cols) — tiny scatter ----
+    Hnodes = jnp.zeros((N, ND, N, ND))   # node-block accumulator
+    Hcross = jnp.zeros((N, ND, 7))       # node x [ext(6), td(1)]
+    Htail = jnp.zeros((7, 7))
+    Hsl_nodes = jnp.zeros((N, ND, L))
+    Hsl_tail = jnp.zeros((7, L))
+    hll = jnp.zeros(L)
+    b_nodes = jnp.zeros((N, ND))
+    b_tail = jnp.zeros(7)
+    b_lm = jnp.zeros(L)
+
+    eyeN = jnp.eye(N)
+
+    def _band_embed(mask, D):
+        """Place per-node (ND,ND) blocks D along the band selected by mask
+        ((N,N) shifted eye) -> (N,ND,N,ND). Broadcast multiply + transpose:
+        an einsum here lowers to an emulated-f64 dot_general (~0.3 ms each at
+        production sizing); the mask product is a 90k-element VPU op."""
+        k = D.shape[-1]
+        if k != ND:
+            D = jnp.pad(D, ((0, 0), (0, ND - k), (0, ND - k)))
+        return (mask[:, :, None, None] * D[:, None, :, :]).transpose(0, 2, 1, 3)
+
+    def _diag_embed(D):
+        return _band_embed(eyeN, D)
+
+    # ---- GNSS (3 res, 6 pose cols) — one-hot over nodes ----
     t = tables.gnss
     poses = params.poses[t.idx]
     rg = jax.vmap(basic.gnss_residual, in_axes=(0, 0, 0, None))(poses, t.blh, t.std, tables.antlever)
     Jg = jax.vmap(basic.gnss_jacobian, in_axes=(0, 0, None))(poses, t.std, tables.antlever)
     rg, Jg = correct_blocks(rg, Jg, t.robust > 0)
     w = t.valid
-    cols = (t.idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
-    Hss = Hss.at[cols[:, :, None], cols[:, None, :]].add(_jtj(Jg, Jg, w))
-    b = b.at[cols].add(-_jtr(Jg, rg, w))
+    oh_g = (t.idx[:, None] == jnp.arange(N)).astype(jnp.float64)  # (G,N) tiny
+    Hnodes = Hnodes + _diag_embed(
+        jnp.einsum("gn,gij->nij", oh_g, _jtj(Jg, Jg, w)))
+    b_nodes = b_nodes - jnp.pad(oh_g.T @ _jtr(Jg, rg, w), ((0, 0), (0, ND - POSE_LOCAL)))
 
-    # ---- preintegration (15 res, 30 cols) — small scatter ----
+    # ---- preintegration (15 res, 30 cols) — static node band ----
     t = tables.preint
     pose0, mix0 = params.poses[t.idx0], params.mixes[t.idx0]
     pose1, mix1 = params.poses[t.idx0 + 1], params.mixes[t.idx0 + 1]
@@ -578,16 +611,25 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     )(t.summ, pose0, mix0, pose1, mix1)
     Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)
     w = t.valid
-    cols = (t.idx0 * NODE_DIM)[:, None] + jnp.arange(2 * NODE_DIM, dtype=jnp.int32)[None, :]
-    Hss = Hss.at[cols[:, :, None], cols[:, None, :]].add(_jtj(Jcat, Jcat, w))
-    b = b.at[cols].add(-_jtr(Jcat, rp, w))
+    JtJ = _jtj(Jcat, Jcat, w)  # (P,30,30)
+    z1 = jnp.zeros((1, ND, ND))
+    Hnodes = Hnodes + _diag_embed(
+        jnp.concatenate([JtJ[:, :ND, :ND], z1]) + jnp.concatenate([z1, JtJ[:, ND:, ND:]]))
+    W01 = jnp.concatenate([JtJ[:, :ND, ND:], z1])           # row k -> block (k,k+1)
+    W10 = jnp.concatenate([z1, JtJ[:, ND:, :ND]])           # row k -> block (k,k-1)
+    Hnodes = Hnodes + _band_embed(jnp.eye(N, k=1), W01)
+    Hnodes = Hnodes + _band_embed(jnp.eye(N, k=-1), W10)
+    Jtr = _jtr(Jcat, rp, w)  # (P,30)
+    z1r = jnp.zeros((1, ND))
+    b_nodes = b_nodes - (
+        jnp.concatenate([Jtr[:, :ND], z1r]) + jnp.concatenate([z1r, Jtr[:, ND:]]))
 
     # ---- reprojection (2 res, 20 cols) — f32 evaluation (see
-    # _reproj_inputs32) + segment-sum contractions ----
+    # _reproj_inputs32) + one-hot MXU contractions ----
     t = tables.reproj
     rr, Jcat = _reproj_blocks(params, t, tables.ext_active, tables.td_active)
     w = t.valid  # binary mask
-    w32 = w.astype(jnp.float32)
+    w32 = w.astype(f32)
 
     JA = Jcat[:, :, 0:6] * w32[:, None, None]          # ref pose (weighted side)
     JB = Jcat[:, :, 6:12]                              # obs pose
@@ -596,81 +638,81 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     JBw = JB * w32[:, None, None]
     JCw = JC * w32[:, None, None]
 
-    # segment contractions run in f32 on the MXU: emulated-f64 matmuls
-    # dominated assembly, and H only preconditions the LM step (the f64
-    # gradient b below fixes the converged point; LM re-evaluates the true
-    # f64 cost for every candidate step)
-    oh_ref = (t.ref_idx[:, None] == jnp.arange(N)).astype(jnp.float32)   # (R,N)
-    oh_obs = (t.obs_idx[:, None] == jnp.arange(N)).astype(jnp.float32)
-    oh_pair = ((t.ref_idx * N + t.obs_idx)[:, None] == jnp.arange(N * N)).astype(jnp.float32)
-    oh_lm = (t.lm_idx[:, None] == jnp.arange(L)).astype(jnp.float32)     # (R,L)
+    oh_ref = (t.ref_idx[:, None] == jnp.arange(N)).astype(f32)   # (R,N)
+    oh_obs = (t.obs_idx[:, None] == jnp.arange(N)).astype(f32)
+    oh_pair = ((t.ref_idx * N + t.obs_idx)[:, None] == jnp.arange(N * N)).astype(f32)
+    oh_lm = (t.lm_idx[:, None] == jnp.arange(L)).astype(f32)     # (R,L)
 
-    pc = (jnp.arange(N, dtype=jnp.int32) * NODE_DIM)[:, None] + jnp.arange(
-        POSE_LOCAL, dtype=jnp.int32)[None, :]  # (N,6)
-    csl = slice(Ds - 7, Ds)  # [ext(6), td(1)] — contiguous tail of the state
+    P_AA = _jtj(JA, Jcat[:, :, 0:6]).reshape(R, 36).astype(f32)
+    P_BB = _jtj(JBw, JB).reshape(R, 36).astype(f32)
+    P_AB = _jtj(JA, JB).reshape(R, 36).astype(f32)
+    P_AC = _jtj(JA, JC).reshape(R, 42).astype(f32)
+    P_BC = _jtj(JBw, JC).reshape(R, 42).astype(f32)
+    CC = jnp.sum(JCw[:, :, :, None] * JC[:, :, None, :], axis=(0, 1)).astype(f64)
 
-    P_AA = _jtj(JA, Jcat[:, :, 0:6]).reshape(R, 36).astype(jnp.float32)
-    P_BB = _jtj(JBw, JB).reshape(R, 36).astype(jnp.float32)
-    P_AB = _jtj(JA, JB).reshape(R, 36).astype(jnp.float32)
-    P_AC = _jtj(JA, JC).reshape(R, 42).astype(jnp.float32)
-    P_BC = _jtj(JBw, JC).reshape(R, 42).astype(jnp.float32)
-    CC = jnp.sum(JCw[:, :, :, None] * JC[:, :, None, :], axis=(0, 1)).astype(jnp.float64)
+    AA = (oh_ref.T @ P_AA).reshape(N, 6, 6).astype(f64)
+    BB = (oh_obs.T @ P_BB).reshape(N, 6, 6).astype(f64)
+    AB = (oh_pair.T @ P_AB).reshape(N, N, 6, 6).astype(f64)
+    AC = (oh_ref.T @ P_AC).reshape(N, 6, 7).astype(f64)
+    BC = (oh_obs.T @ P_BC).reshape(N, 6, 7).astype(f64)
 
-    AA = (oh_ref.T @ P_AA).reshape(N, 6, 6).astype(jnp.float64)
-    BB = (oh_obs.T @ P_BB).reshape(N, 6, 6).astype(jnp.float64)
-    AB = (oh_pair.T @ P_AB).reshape(N, N, 6, 6).astype(jnp.float64)
-    AC = (oh_ref.T @ P_AC).reshape(N, 6, 7).astype(jnp.float64)
-    BC = (oh_obs.T @ P_BC).reshape(N, 6, 7).astype(jnp.float64)
+    Hnodes = Hnodes + _diag_embed(AA + BB)
+    ABs = AB + AB.transpose(1, 0, 3, 2)
+    Hnodes = Hnodes + jnp.pad(ABs, ((0, 0), (0, 0), (0, ND - 6), (0, ND - 6))).transpose(0, 2, 1, 3)
+    Hcross = Hcross + jnp.pad(AC + BC, ((0, 0), (0, ND - 6), (0, 0)))
+    Htail = Htail + CC
 
-    carr = jnp.arange(Ds - 7, Ds, dtype=jnp.int32)
-    Hss = Hss.at[pc[:, :, None], pc[:, None, :]].add(AA + BB)
-    Hss = Hss.at[pc[:, None, :, None], pc[None, :, None, :]].add(AB + AB.transpose(1, 0, 3, 2))
-    Hss = Hss.at[pc[:, :, None], carr[None, None, :]].add(AC + BC)
-    Hss = Hss.at[carr[:, None], pc.reshape(-1)[None, :]].add((AC + BC).reshape(N * 6, 7).T)
-    Hss = Hss.at[csl, csl].add(CC)
-
-    # landmark cross + diagonal
+    # landmark cross + diagonal: (node, lm) placement as two f32 matmuls
     P_AL = _jtr(JA, JL)            # (R,6)
     P_BL = _jtr(JBw, JL)
     P_CL = _jtr(JCw, JL)           # (R,7)
-    rows_ref = (t.ref_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
-    rows_obs = (t.obs_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]
-    Hsl = Hsl.at[rows_ref, t.lm_idx[:, None]].add(P_AL.astype(jnp.float64))
-    Hsl = Hsl.at[rows_obs, t.lm_idx[:, None]].add(P_BL.astype(jnp.float64))
-    Hsl = Hsl.at[csl, :].add((oh_lm.T @ P_CL).T.astype(jnp.float64))
-    hll = hll.at[t.lm_idx].add(jnp.sum(JL * JL, axis=1) * w)
+    M_ref = (oh_ref[:, :, None] * P_AL[:, None, :]).reshape(R, N * 6)
+    M_obs = (oh_obs[:, :, None] * P_BL[:, None, :]).reshape(R, N * 6)
+    Hsl_pose = ((M_ref + M_obs).T @ oh_lm).reshape(N, 6, L).astype(f64)
+    Hsl_nodes = Hsl_nodes + jnp.pad(Hsl_pose, ((0, 0), (0, ND - 6), (0, 0)))
+    Hsl_tail = Hsl_tail + (oh_lm.T @ P_CL).T.astype(f64)
+    hll = hll + (oh_lm.T @ (jnp.sum(JL * JL, axis=1) * w32)).astype(f64)
 
     # gradient (w already folded into rw; w is binary)
-    rw = rr * w[:, None]
+    rw = rr * w32[:, None]
     gA = _jtr(Jcat[:, :, 0:6], rw)
     gB = _jtr(JB, rw)
     gC = _jtr(JC, rw)
     gL = jnp.sum(JL * rw, axis=1)
-    b = b.at[rows_ref].add(-gA)
-    b = b.at[rows_obs].add(-gB)
-    b = b.at[csl].add(-jnp.sum(gC, axis=0))
-    b = b.at[cfg.lm_off + t.lm_idx].add(-gL)
+    b_nodes = b_nodes - jnp.pad(
+        (oh_ref.T @ gA + oh_obs.T @ gB).astype(f64), ((0, 0), (0, ND - 6)))
+    b_tail = b_tail - jnp.sum(gC, axis=0).astype(f64)
+    b_lm = b_lm - (oh_lm.T @ gL).astype(f64)
 
     # ---- imu error factor on newest mix ----
     kmix = tables.prior.imuerr_idx
     ev = tables.prior.imuerr_valid
     re = basic.imu_error_residual(params.mixes[kmix])
     Je = basic.imu_error_jacobian()
-    cols_e = kmix * NODE_DIM + POSE_LOCAL + jnp.arange(MIX_DIM, dtype=jnp.int32)
-    Hss = Hss.at[cols_e[:, None], cols_e[None, :]].add(ev * (Je.T @ Je))
-    b = b.at[cols_e].add(-ev * (Je.T @ re))
+    oh_e = (jnp.arange(N) == kmix).astype(jnp.float64) * ev
+    Ee = jnp.pad(Je.T @ Je, ((POSE_LOCAL, 0), (POSE_LOCAL, 0)))
+    Hnodes = Hnodes + _band_embed(jnp.diag(oh_e), jnp.broadcast_to(Ee, (N, ND, ND)))
+    b_nodes = b_nodes - oh_e[:, None] * jnp.pad(Je.T @ re, (POSE_LOCAL, 0))[None, :]
 
-    # ---- init priors on node 0 ----
+    # ---- init priors on node 0 (static slices) ----
     pv = tables.prior.valid
     rpp = basic.pose_prior_residual(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
     Jpp = basic.pose_prior_jacobian(params.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
-    Hss = Hss.at[:POSE_LOCAL, :POSE_LOCAL].add(pv * (Jpp.T @ Jpp))
-    b = b.at[:POSE_LOCAL].add(-pv * (Jpp.T @ rpp))
+    Hnodes = Hnodes.at[0, :POSE_LOCAL, 0, :POSE_LOCAL].add(pv * (Jpp.T @ Jpp))
+    b_nodes = b_nodes.at[0, :POSE_LOCAL].add(-pv * (Jpp.T @ rpp))
     rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
     Jmp = basic.mix_prior_jacobian(tables.prior.mix_prior_std)
-    sl = slice(POSE_LOCAL, NODE_DIM)
-    Hss = Hss.at[sl, sl].add(pv * (Jmp.T @ Jmp))
-    b = b.at[sl].add(-pv * (Jmp.T @ rmp))
+    Hnodes = Hnodes.at[0, POSE_LOCAL:, 0, POSE_LOCAL:].add(pv * (Jmp.T @ Jmp))
+    b_nodes = b_nodes.at[0, POSE_LOCAL:].add(-pv * (Jmp.T @ rmp))
+
+    # ---- assemble the block form by concatenation ----
+    Hn = Hnodes.reshape(N * ND, N * ND)
+    Hc = Hcross.reshape(N * ND, 7)
+    Hss = jnp.concatenate(
+        [jnp.concatenate([Hn, Hc], axis=1),
+         jnp.concatenate([Hc.T, Htail], axis=1)], axis=0)
+    Hsl = jnp.concatenate([Hsl_nodes.reshape(N * ND, L), Hsl_tail], axis=0)
+    b = jnp.concatenate([b_nodes.reshape(-1), b_tail, b_lm])
 
     # ---- marginalization prior (exact tangent chaining, see
     # _marg_rot_correction; all rotation tangents live in the state block,

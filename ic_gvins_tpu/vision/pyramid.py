@@ -14,17 +14,20 @@ _PYR_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
 
 
 def pyr_down(img):
-    """One pyramid level down: 5x5 Gaussian (separable) + 2x decimation,
-    as two strided 1-D convolutions (decimating between the passes — the
-    passes are axis-independent, so this equals blur-then-[::2,::2] while
-    doing a quarter of the column-pass work)."""
+    """One pyramid level down: 5x5 Gaussian (separable) + 2x decimation.
+
+    Written as strided slice multiply-adds, NOT lax.conv: a C=1 convolution
+    pads the channel dim onto (8,128) MXU tiles and wastes >99% of the
+    array (measured 2.7 ms for the 4-level pyramid at 1278x1022; the slice
+    form is pure VPU elementwise work). Decimation happens between the
+    passes — the passes are axis-independent, so this equals
+    blur-then-[::2,::2] while doing a quarter of the column-pass work."""
     img = img.astype(jnp.float32)
-    x = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")[None, None]
-    ky = _PYR_K.reshape(1, 1, 5, 1)
-    kx = _PYR_K.reshape(1, 1, 1, 5)
-    x = jax.lax.conv_general_dilated(x, ky, (2, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kx, (1, 2), "VALID")
-    return x[0, 0]
+    H, W = img.shape
+    H2, W2 = (H - 1) // 2 + 1, (W - 1) // 2 + 1
+    p = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")
+    v = sum(_PYR_K[k] * p[k::2][:H2] for k in range(5))
+    return sum(_PYR_K[k] * v[:, k::2][:, :W2] for k in range(5))
 
 
 def build_pyramid(img, levels=4):

@@ -5,8 +5,11 @@ one jitted fori_loop, (t(K)-t(1))/(K-1), min over reps, fresh inputs.
 Usage: python scripts/dev/prof_stages.py [frontend|backend|all]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 

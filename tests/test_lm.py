@@ -249,7 +249,9 @@ def test_blocks_match_dense_assembly():
     scale = max(1.0, np.abs(np.asarray(H)).max())
     np.testing.assert_allclose(np.asarray(Hss), np.asarray(H[:Ds, :Ds]), atol=2e-6 * scale)
     np.testing.assert_allclose(np.asarray(Hsl), np.asarray(H[:Ds, Ds:]), atol=2e-6 * scale)
-    np.testing.assert_allclose(np.asarray(hll), np.asarray(jnp.diag(H)[Ds:]), atol=1e-9, rtol=1e-9)
+    # hll accumulates through the f32 one-hot landmark contraction like the
+    # rest of H (preconditioner only)
+    np.testing.assert_allclose(np.asarray(hll), np.asarray(jnp.diag(H)[Ds:]), atol=2e-6 * scale)
     # the reprojection contributions to b evaluate in f32 (different but
     # equally-rounded accumulation orders in the two paths)
     bscale = max(1.0, np.abs(np.asarray(b)).max())
