@@ -6,9 +6,11 @@ Measures the two dominating per-frame costs at KAIST urban38 scale
 (1278x1022 imagery, 10 Hz camera, ~200 features in 256-slot tables, 20-node window with 512
 landmarks / 2048 reprojection factors, 20 LM iterations split 5+15):
 
-  frontend step: CLAHE + 4-level pyramid + two bidirectional pyramidal LK
-                 batches (landmark + reference tracks, 256-slot tables)
-                 + occupancy mask + blockwise Shi-Tomasi detection
+  frontend step: CLAHE + 4-level pyramid + ONE fused bidirectional
+                 pyramidal LK batch (landmark + reference tracks share the
+                 256-slot table, as in vision/tracking.py), fundamental
+                 RANSAC, occupancy mask + blockwise Shi-Tomasi detection +
+                 subpixel corner refinement
   backend step:  full two-pass sliding-window solve with chi2 surgery
 
 Methodology: the tunneled TPU used in this environment has a large and
@@ -70,28 +72,31 @@ def bench_frontend():
     import jax.numpy as jnp
     import numpy as np
 
-    from ic_gvins_tpu.vision import features, lk, pyramid
+    from ic_gvins_tpu.vision import features, lk, pyramid, ransac
 
     block_rows, block_cols, per_block = 5, 6, 7  # 200-px blocks for 1278x1022
 
     def frame(carry):
-        img, pyr_prev, pts_map, pts_ref = carry
+        img, pyr_prev, pts = carry
         img = jnp.roll(img, (2, 3), axis=(0, 1))
         pyr_cur = pyramid.build_pyramid(pyramid.clahe(img), lk.PYRAMID_LEVELS)
         valid = jnp.ones(F_MAX, bool)
-        nxt1, ok1 = lk.track_bidirectional(pyr_prev, pyr_cur, pts_map, pts_map, valid)
-        nxt2, ok2 = lk.track_bidirectional(pyr_prev, pyr_cur, pts_ref, pts_ref, valid)
-        mask = features.occupancy_mask(nxt2, ok2.astype(jnp.float32), (H, W), 15)
+        # landmark + reference tracks share one padded table (tracking.py
+        # packs both into a single bidirectional batch)
+        nxt, ok = lk.track_bidirectional(pyr_prev, pyr_cur, pts, pts, valid)
+        inl, _ = ransac.fundamental_ransac(pts, nxt, ok.astype(jnp.float64), 1.5)
+        ok = ok & inl
+        mask = features.occupancy_mask(nxt, ok.astype(jnp.float32), (H, W), 15)
         corners, resp, cvalid = features.detect_blockwise(
             pyr_cur[0], mask, jnp.zeros(block_rows * block_cols, jnp.int32),
             block_rows=block_rows, block_cols=block_cols, per_block=per_block,
             min_distance=15,
         )
-        pts_map = jnp.clip(nxt1, 30.0, 900.0)
-        pts_ref = jnp.clip(nxt2, 30.0, 900.0)
-        pts_ref = pts_ref.at[: block_rows * block_cols * per_block].set(
+        corners = features.corner_subpix(pyr_cur[0], corners.astype(jnp.float32), cvalid)
+        pts = jnp.clip(nxt, 30.0, 900.0)
+        pts = pts.at[: block_rows * block_cols * per_block].set(
             jnp.clip(corners.astype(jnp.float32), 30.0, 900.0))
-        return (img, pyr_cur, pts_map, pts_ref)
+        return (img, pyr_cur, pts)
 
     @jax.jit
     def run(carry, n):
@@ -103,8 +108,7 @@ def bench_frontend():
         pyr = [jnp.asarray(x) for x in
                jax.jit(lambda im: pyramid.build_pyramid(pyramid.clahe(im), lk.PYRAMID_LEVELS))(img)]
         pts = jnp.asarray(r.uniform(30, 900, (F_MAX, 2)), jnp.float32)
-        pts2 = jnp.asarray(r.uniform(30, 900, (F_MAX, 2)), jnp.float32)
-        return (img, pyr, pts, pts2)
+        return (img, pyr, pts)
 
     return _timed_loop(run, make_init, k=150)
 

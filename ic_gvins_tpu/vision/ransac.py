@@ -28,19 +28,90 @@ def _normalize(pts, valid):
     return (pts - mean) * scale, T
 
 
+def _gauss_jordan_solve(B, n):
+    """Reduce the batched augmented system B (..., n, n+1) to
+    [I | x] by Gauss-Jordan elimination with partial pivoting (one-hot row
+    selection — no gathers/swap scatters). Returns x (..., n).
+
+    Replaces jnp.linalg.svd nullspace extraction: XLA:TPU lowers small
+    batched SVDs to serialized one-sided Jacobi loops (~23 ms for 256
+    8-point hypotheses per frame); this is n unrolled steps of batched
+    elementwise work. Singular pivots produce garbage rows that score
+    few inliers and lose the RANSAC argmax (cv behaves the same way for
+    degenerate samples)."""
+    M = B
+    rows = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(M[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)          # pivot among rows k..
+        p = jnp.argmax(col, axis=-1)
+        oh = (rows == p[..., None]).astype(M.dtype)    # (..., n)
+        prow = jnp.sum(M * oh[..., None], axis=-2)     # (..., n+1)
+        # virtual swap: row p := row k, then row k := pivot row
+        rowk = M[..., k, :]
+        M = M - oh[..., None] * (prow - rowk)[..., None, :]
+        piv = prow[..., k]
+        prow = prow / jnp.where(jnp.abs(piv) > 1e-30, piv, 1.0)[..., None]
+        # eliminate the k-th column from every other row
+        fac = jnp.where(rows != k, M[..., :, k], 0.0)
+        M = M - fac[..., None] * prow[..., None, :]
+        M = M.at[..., k, :].set(prow)
+    return M[..., :, n]
+
+
+def _sym3_smallest_eigvec(M):
+    """Closed-form unit eigenvector of the smallest eigenvalue of a
+    symmetric (..., 3, 3) matrix (trigonometric eigenvalue formula + row
+    cross products), elementwise throughout."""
+    m00, m11, m22 = M[..., 0, 0], M[..., 1, 1], M[..., 2, 2]
+    m01, m02, m12 = M[..., 0, 1], M[..., 0, 2], M[..., 1, 2]
+    q = (m00 + m11 + m22) / 3.0
+    p1 = m01 * m01 + m02 * m02 + m12 * m12
+    p2 = (m00 - q) ** 2 + (m11 - q) ** 2 + (m22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-300))
+    d0, d1, d2 = (m00 - q) / p, (m11 - q) / p, (m22 - q) / p
+    b01, b02, b12 = m01 / p, m02 / p, m12 / p
+    detB = (
+        d0 * (d1 * d2 - b12 * b12)
+        - b01 * (b01 * d2 - b12 * b02)
+        + b02 * (b01 * b12 - d1 * b02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    C = M - lmin[..., None, None] * jnp.eye(3, dtype=M.dtype)
+    c01 = jnp.cross(C[..., 0, :], C[..., 1, :])
+    c02 = jnp.cross(C[..., 0, :], C[..., 2, :])
+    c12 = jnp.cross(C[..., 1, :], C[..., 2, :])
+    cands = jnp.stack([c01, c02, c12], axis=-2)
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    oh = (jnp.arange(3) == best[..., None]).astype(M.dtype)
+    v = jnp.sum(cands * oh[..., None], axis=-2)
+    nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # isotropic fallback (p ~ 0): any direction is an eigenvector
+    e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
+    return jnp.where(nv > 1e-30, v / jnp.maximum(nv, 1e-300), e0)
+
+
 def _eight_point(p0, p1):
-    """F from 8 correspondences (already normalized), via SVD."""
+    """F from 8 correspondences (already normalized): exact nullspace via
+    the f33=1 parameterization (Gauss-Jordan on the 8x8 system — the
+    stacked constraints have an exact one-dimensional nullspace, so this
+    equals the SVD null vector up to scale except when f33=0, a degenerate
+    hypothesis that loses the vote) + closed-form rank-2 projection."""
     x0, y0 = p0[:, 0], p0[:, 1]
     x1, y1 = p1[:, 0], p1[:, 1]
     A = jnp.stack(
         [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, jnp.ones_like(x0)], axis=1
     )
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[-1].reshape(3, 3)
-    # enforce rank 2
-    U, S, Vt2 = jnp.linalg.svd(F)
-    S = S.at[2].set(0.0)
-    return U @ jnp.diag(S) @ Vt2
+    B = jnp.concatenate([A[:, :8], -A[:, 8:]], axis=1)
+    f8 = _gauss_jordan_solve(B, 8)
+    F = jnp.concatenate([f8, jnp.ones_like(f8[:1])]).reshape(3, 3)
+    # rank-2 enforcement: subtract the smallest singular triplet
+    # (F v3 = s3 u3, so F - (F v3) v3^T truncates the SVD at rank 2)
+    v3 = _sym3_smallest_eigvec(F.T @ F)
+    return F - jnp.outer(F @ v3, v3)
 
 
 def _sampson(F, p0h, p1h):
@@ -104,9 +175,18 @@ def triangulate(Rcw0, tcw0, Rcw1, tcw1, pc0, pc1):
             pc1[1] * P1[2] - P1[1],
         ]
     )
-    _, _, Vt = jnp.linalg.svd(A)
-    X = Vt[-1]
-    return X[:3] / X[3]
+    # least squares with the X4=1 homogeneous gauge: 3x3 normal equations
+    # solved in closed form (adjugate/Cramer) — batched SVD is a serialized
+    # Jacobi loop on TPU. Points near infinity (X4 ~ 0) come out with huge
+    # depths and are culled by the depth gates, as with the SVD path.
+    A3 = A[:, :3]
+    Nm = A3.T @ A3
+    b = -(A3.T @ A[:, 3])
+    c0 = jnp.cross(Nm[:, 1], Nm[:, 2])
+    det = jnp.dot(Nm[:, 0], c0)
+    adjT = jnp.stack([c0, jnp.cross(Nm[:, 2], Nm[:, 0]), jnp.cross(Nm[:, 0], Nm[:, 1])], axis=1)
+    X3 = adjT @ b / jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    return X3
 
 
 def triangulate_batch(pose0_R, pose0_t, pose1_R, pose1_t, pc0, pc1):

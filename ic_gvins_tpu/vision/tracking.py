@@ -147,14 +147,48 @@ class Tracker:
 
     def _track_pairs(self, pts_prev, pts_pred):
         """Bidirectional LK on padded tables; returns (next_pts, ok) trimmed."""
-        n = len(pts_prev)
-        pp, v = self._pad(np.asarray(pts_prev))
-        pd, _ = self._pad(np.asarray(pts_pred))
+        [(nxt, ok)] = self._lk_fused([(np.asarray(pts_prev), np.asarray(pts_pred))])
+        return nxt, ok
+
+    def _lk_fused(self, sets):
+        """ONE bidirectional LK over several feature sets packed into a
+        single padded table. The reference issues one calcOpticalFlowPyrLK
+        per set (landmark tracks + reference tracks, tracking.cc:385-393,
+        528-536) but the union is bounded by track_max_features — two
+        full-size padded batches would double the device work.
+
+        sets: [(pts_prev (n,2), pts_pred (n,2)), ...] with sum(n) <= F_MAX
+        (overflow slots are shed as failed tracks).
+        Returns [(next (n,2) f64, ok (n,) bool), ...]."""
+        n = self.F_MAX
+        pp = np.zeros((n, 2))
+        pd = np.zeros((n, 2))
+        v = np.zeros(n)
+        offs = []
+        off = 0
+        for p, q in sets:
+            k = min(len(p), n - off)
+            offs.append((off, k))
+            if k:
+                pp[off : off + k] = p[:k]
+                pd[off : off + k] = q[:k]
+                v[off : off + k] = 1.0
+            off += k
         nxt, ok = lk.track_bidirectional(
             self.pyr_pre, self.pyr_cur, jnp.asarray(pp, jnp.float32),
             jnp.asarray(pd, jnp.float32), jnp.asarray(v, bool),
         )
-        return np.asarray(nxt, np.float64)[:n], np.asarray(ok)[:n]
+        nxt = np.asarray(nxt, np.float64)
+        okn = np.asarray(ok)
+        out = []
+        for (off, k), (p, _q) in zip(offs, sets):
+            m = len(p)
+            nx = np.zeros((m, 2))
+            good = np.zeros(m, bool)
+            nx[:k] = nxt[off : off + k]
+            good[:k] = okn[off : off + k]
+            out.append((nx, good))
+        return out
 
     # ------------------------------------------------------------------
     # main entry
@@ -217,8 +251,21 @@ class Tracker:
         return TRACK_TRACKING
 
     def _track_normal(self):
-        self.track_mappoints()
-        self.track_reference_frame()
+        # ONE fused LK batch for both stages (see _lk_fused)
+        map_prep = self._prepare_mappoint_tracking()
+        ref_prep = self._prepare_reference_tracking()
+        sets = []
+        if map_prep is not None:
+            sets.append((map_prep[1], map_prep[3]))
+        if ref_prep is not None:
+            sets.append(ref_prep)
+        results = self._lk_fused(sets) if sets else []
+        i = 0
+        if map_prep is not None:
+            self._finish_mappoint_tracking(map_prep, *results[i])
+            i += 1
+        if ref_prep is not None:
+            self._finish_reference_tracking(ref_prep[0], *results[i])
 
         kf_state = self.check_keyframe_state()
 
@@ -241,7 +288,15 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def track_mappoints(self):
-        """tracking.cc:351-455."""
+        """tracking.cc:351-455 (standalone path; the normal frame loop runs
+        the fused prepare/finish halves around one LK batch)."""
+        prep = self._prepare_mappoint_tracking()
+        if prep is None:
+            return False
+        [(nxt, ok)] = self._lk_fused([(prep[1], prep[3])])
+        return self._finish_mappoint_tracking(prep, nxt, ok)
+
+    def _prepare_mappoint_tracking(self):
         self.tracked_mappoints = []
         self.parallax_map = 0.0
         self.parallax_map_counts = 0
@@ -252,7 +307,7 @@ class Tracker:
             if lm_id in self.map.landmarks and not self.map.landmarks[lm_id].outlier
         ]
         if not prev_feats:
-            return False
+            return None
 
         lms = [self.map.landmarks[lm_id] for lm_id, _ in prev_feats]
         pts_prev_dis = np.stack([obs.dis for _, obs in prev_feats])
@@ -263,8 +318,10 @@ class Tracker:
         pc = (pos_w - self.frame_cur.t) @ self.frame_cur.R
         pred_und = cam.cam2pixel(self.cam, pc)
         pred_dis = self._dis(pred_und)
+        return lms, pts_prev_dis, pts_prev_und, pred_dis
 
-        nxt, ok = self._track_pairs(pts_prev_dis, pred_dis)
+    def _finish_mappoint_tracking(self, prep, nxt, ok):
+        lms, pts_prev_dis, pts_prev_und, _pred = prep
         if not ok.any():
             return False
 
@@ -310,11 +367,19 @@ class Tracker:
         return len(und0)
 
     def track_reference_frame(self):
-        """tracking.cc:457-574."""
+        """tracking.cc:457-574 (standalone path; the normal frame loop runs
+        the fused prepare/finish halves around one LK batch)."""
+        prep = self._prepare_reference_tracking()
+        if prep is None:
+            return False
+        [(nxt, ok)] = self._lk_fused([prep])
+        return self._finish_reference_tracking(prep[0], nxt, ok)
+
+    def _prepare_reference_tracking(self):
         self.parallax_ref = 0.0
         self.parallax_ref_counts = 0
         if not self.pts_new:
-            return False
+            return None
 
         pts_new = np.asarray(self.pts_new)
         # rotation-compensated prediction
@@ -324,8 +389,9 @@ class Tracker:
         pc_cur = pc_pre @ r_cur_pre.T
         xy = cam.distort_normalized(self.cam, pc_cur[:, :2] / pc_cur[:, 2:3])
         pred = cam.cam2pixel(self.cam, np.concatenate([xy, np.ones((len(xy), 1))], axis=1))
+        return pts_new, pred
 
-        nxt, ok = self._track_pairs(pts_new, pred)
+    def _finish_reference_tracking(self, pts_new, nxt, ok):
         self._reduce(ok)
         if not self.pts_new:
             return False

@@ -76,3 +76,32 @@ def test_batched_matches_xla_level():
     flow = np.asarray(out_b)[both] - np.asarray(pts)[both]
     err = np.linalg.norm(flow - np.array([dx, dy]), axis=1)
     assert np.median(err) < 0.15, f"median flow err {np.median(err)}"
+
+
+def test_subpix_pallas_matches_jnp():
+    """pallas subpixel refinement (interpret mode) vs the jnp reference."""
+    from ic_gvins_tpu.ops.pallas_subpix import subpix_pallas
+
+    img0 = synth_image(H=240, W=320, seed=3)
+    corners, _, valid = features.detect_blockwise(
+        jnp.asarray(img0), jnp.ones((240, 320)), jnp.zeros(4, jnp.int32),
+        block_rows=2, block_cols=2, per_block=20, min_distance=9,
+    )
+    inb = (
+        (corners[:, 0] > 25) & (corners[:, 0] < 295)
+        & (corners[:, 1] > 25) & (corners[:, 1] < 215)
+    )
+    valid = valid & inb
+    img = jnp.asarray(img0, jnp.float32)
+    pts = corners.astype(jnp.float32)
+
+    ref = features.corner_subpix(img, pts, valid)  # jnp path on CPU
+    out = subpix_pallas(img, pts, valid, interpret=True)
+
+    vb = np.asarray(valid)
+    d = np.linalg.norm(np.asarray(out)[vb] - np.asarray(ref)[vb], axis=1)
+    # both refine off the integer corner; they must agree to a small
+    # fraction of a pixel (different border/sampling details)
+    assert np.median(d) < 0.05, f"median subpix diff {np.median(d)}"
+    moved = np.linalg.norm(np.asarray(out)[vb] - np.asarray(pts)[vb], axis=1)
+    assert (moved < 5.0).all()
