@@ -24,9 +24,14 @@ per-frame time is (t(K) - t(1)) / (K - 1) over fresh inputs — one tunnel
 round trip cancels and caching never triggers. This is the number a
 co-located production deployment sees.
 
-frames/sec = 1 / (t_frontend + kf_ratio * t_backend), kf_ratio = 0.5
-(the reference triggers an optimization roughly every other frame on
-urban38's 10 Hz stream).
+frames/sec = 1 / (t_frontend + kf * t_backend + mr * t_marg + host):
+every term measured — chip-chained kernels for frontend/backend/
+marginalization, and the host term + keyframe/marg ratios from a REAL
+end-to-end GvinsModel.run replay (scripts/bench_replay_host.py, CPU
+subprocess at production table sizing; host bookkeeping cost is backend-
+independent). The keyframe/marg ratios are floored at 0.5 (the reference
+optimizes roughly every other frame on urban38) so a gentle synthetic
+world cannot flatter the number.
 
 vs_baseline = frames_per_sec / 100: the north star is >=10x real-time on the
 10 Hz urban38 stream (BASELINE.md), i.e. 100 frames/sec. >1.0 beats target.
@@ -143,22 +148,82 @@ def bench_backend():
     return _timed_loop(run, make_init, k=40)
 
 
+def bench_marg():
+    """Chained marginalization (select + Schur + shift) at production sizing:
+    the D=819 double-eigh pipeline the replay runs once per window slide."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from ic_gvins_tpu.factors import marginalization as marg
+    from ic_gvins_tpu.solver.problem import WindowConfig
+
+    cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=False)
+    params0, tables0 = ge._make_problem(cfg)
+
+    def marg_once(i, t):
+        mt, mask, _ = marg.select_marg_factors(t, cfg, 1, 0)
+        prior = marg.shift_prior(marg.marginalize(params0, mt, mask, cfg), cfg, 1)
+        return t._replace(marg=prior)
+
+    @jax.jit
+    def run(t, n):
+        return jax.lax.fori_loop(0, n, marg_once, t)
+
+    def make_init(seed):
+        import numpy as np
+
+        r = np.random.default_rng(seed)
+        g = tables0.gnss
+        return tables0._replace(gnss=g._replace(
+            blh=g.blh + jnp.asarray(r.normal(0, 0.01, g.blh.shape))))
+
+    return _timed_loop(run, make_init, k=20)
+
+
+def _replay_host_stats():
+    """Run scripts/bench_replay_host.py (CPU subprocess): measured host-side
+    cost per frame of the REAL model.run loop plus the run's own keyframe /
+    marginalization ratios. See that file's docstring for the methodology."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_replay_host.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def main():
+    host = _replay_host_stats()
     t_backend = bench_backend()
+    t_marg = bench_marg()
     t_frontend = bench_frontend()
-    kf_ratio = 0.5
-    frame_time = t_frontend + kf_ratio * t_backend
+    # measured ratios from the real replay; the keyframe ratio is floored at
+    # the reference's urban38 behavior (optimization roughly every other
+    # frame) so a gentle synthetic world cannot flatter the number
+    kf_ratio = max(host["kf_ratio"], 0.5)
+    marg_ratio = max(host["marg_ratio"], 0.5)
+    frame_time = (t_frontend + kf_ratio * t_backend + marg_ratio * t_marg
+                  + host["host_s"])
     fps = 1.0 / frame_time
     print(
         json.dumps(
             {
-                "metric": "urban38-scale replay frames/sec (frontend track + 0.5x two-pass BA) per chip",
+                "metric": "urban38-scale replay frames/sec (frontend + kf*two-pass BA + marg + measured host cost) per chip",
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 100.0, 4),
                 "detail": {
                     "frontend_ms": round(t_frontend * 1000, 3),
                     "backend_ms": round(t_backend * 1000, 3),
+                    "marg_ms": round(t_marg * 1000, 3),
+                    "host_ms": round(host["host_s"] * 1000, 3),
+                    "kf_ratio": kf_ratio,
+                    "marg_ratio": marg_ratio,
+                    "replay_cpu_e2e": host,
                 },
             }
         )

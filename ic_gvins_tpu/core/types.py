@@ -19,7 +19,7 @@ class ImuBatch(NamedTuple):
     dt:     (..., S) sample intervals [s] (0 for padding => exact no-op)
     dtheta: (..., S, 3) integrated angle increments [rad]
     dvel:   (..., S, 3) integrated velocity increments [m/s]
-    odovel: (..., S) odometer-derived velocity [m/s] (0 when unused)
+    odovel: (..., S) odometer distance increment [m] (0 when unused)
     """
 
     time: jnp.ndarray
@@ -134,7 +134,9 @@ class IntegrationParams(NamedTuple):
             corr_time=jnp.asarray(3600.0, d),
             gravity=jnp.asarray(9.80, d),
             odo_std=jnp.full((3,), 0.1, d),
-            odo_srw=jnp.asarray(1000.0, d),
+            # 1000 PPM/sqrt(Hz) converted to 1/sqrt(s)
+            # (integration_state.h:83: odo_srw is PPM/sqrt(Hz))
+            odo_srw=jnp.asarray(1.0e-3, d),
             abv=jnp.zeros(3, d),
             lodo=jnp.zeros(3, d),
             station=jnp.zeros(3, d),

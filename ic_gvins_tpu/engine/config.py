@@ -37,6 +37,16 @@ class ImuModel:
 
 
 @dataclasses.dataclass
+class OdometerConfig:
+    """Wheel odometer (ODO/EARTH_ODO preintegration variants). SI units."""
+
+    std: List[float] = dataclasses.field(default_factory=lambda: [0.1, 0.1, 0.1])
+    srw: float = 1.0e-3                 # scale random walk [1/sqrt(s)] (from PPM/sqrt(Hz))
+    abv: List[float] = dataclasses.field(default_factory=lambda: [0.0, 0.0, 0.0])
+    lodo: List[float] = dataclasses.field(default_factory=lambda: [0.0, 0.0, 0.0])
+
+
+@dataclasses.dataclass
 class GvinsConfig:
     outputpath: str = ""
     is_make_outputdir: bool = True
@@ -58,6 +68,10 @@ class GvinsConfig:
     optimize_num_iterations: int = 20
     optimize_estimate_extrinsic: bool = True
     optimize_estimate_td: bool = True
+    # wheel odometer (the reference hard-disables it, ic_gvins.cc:100-101;
+    # this framework exposes the capability for odometer-equipped setups)
+    isuseodo: bool = False
+    odometer: Optional[OdometerConfig] = None
     cam0: Optional[CameraConfig] = None
 
     # framework-specific capacity knobs (absent from the reference yaml;
@@ -87,7 +101,7 @@ def parse_config(raw: dict) -> GvinsConfig:
         "is_use_visualization", "track_check_histogram", "track_min_parallax",
         "track_max_interval", "track_max_features", "reprojection_error_std",
         "optimize_windows_size", "optimize_num_iterations",
-        "optimize_estimate_extrinsic", "optimize_estimate_td",
+        "optimize_estimate_extrinsic", "optimize_estimate_td", "isuseodo",
         "node_slots", "landmark_slots", "gnss_slots", "reproj_slots", "preint_samples",
     ]
     for key in simple:
@@ -103,6 +117,18 @@ def parse_config(raw: dict) -> GvinsConfig:
         abstd=m.get("abstd", 50.0) * 1.0e-5,
         corrtime=m.get("corrtime", 1.0) * 3600.0,
     )
+
+    if "odometer" in raw and raw["odometer"]:
+        o = raw["odometer"]
+        cfg.odometer = OdometerConfig(
+            std=list(o.get("std", [0.1, 0.1, 0.1])),
+            # yaml srw is PPM/sqrt(Hz) (integration_state.h:83)
+            srw=float(o.get("srw", 1000.0)) * 1.0e-6,
+            abv=[v * D2R for v in o.get("abv", [0.0, 0.0, 0.0])],  # deg -> rad
+            lodo=list(o.get("lodo", [0.0, 0.0, 0.0])),
+        )
+    elif cfg.isuseodo:
+        cfg.odometer = OdometerConfig()
 
     if "cam0" in raw and raw["cam0"]:
         c = raw["cam0"]
@@ -124,7 +150,7 @@ def integration_params_from_config(cfg: GvinsConfig, gravity=NORMAL_GRAVITY):
     from ..core.types import IntegrationParams
 
     m = cfg.imumodel
-    return IntegrationParams.default()._replace(
+    params = IntegrationParams.default()._replace(
         gyr_arw=jnp.asarray(m.arw),
         acc_vrw=jnp.asarray(m.vrw),
         gyr_bias_std=jnp.asarray(m.gbstd),
@@ -132,3 +158,12 @@ def integration_params_from_config(cfg: GvinsConfig, gravity=NORMAL_GRAVITY):
         corr_time=jnp.asarray(m.corrtime),
         gravity=jnp.asarray(gravity),
     )
+    if cfg.odometer is not None:
+        o = cfg.odometer
+        params = params._replace(
+            odo_std=jnp.asarray(o.std),
+            odo_srw=jnp.asarray(o.srw),
+            abv=jnp.asarray(o.abv),
+            lodo=jnp.asarray(o.lodo),
+        )
+    return params

@@ -24,7 +24,7 @@ class ImuStream:
     """Host-side random access into the replayed IMU stream.
 
     data: dict of numpy arrays — time (T,), dt (T,), dtheta (T,3),
-    dvel (T,3), odovel (T,). Samples are increment-form; time is the
+    dvel (T,3), odovel (T,) distance increments. Samples are increment-form; time is the
     sample END time (reference convention)."""
 
     def __init__(self, data):

@@ -47,6 +47,27 @@ def imu_error_jacobian():
     return J
 
 
+def imu_error_residual_odo(mix):
+    """7-dim odometer variant: biases + sodo/ODO_SCALE_STD
+    (imu_error_factor.h:67-83); mix is the 10-dim [v, bg, ba, sodo] block."""
+    return jnp.concatenate(
+        [
+            mix[..., 3:6] / IMU_GRY_BIAS_STD,
+            mix[..., 6:9] / IMU_ACC_BIAS_STD,
+            mix[..., 9:10] / ODO_SCALE_STD,
+        ],
+        axis=-1,
+    )
+
+
+def imu_error_jacobian_odo():
+    J = jnp.zeros((7, 10))
+    J = J.at[0:3, 3:6].set(jnp.eye(3) / IMU_GRY_BIAS_STD)
+    J = J.at[3:6, 6:9].set(jnp.eye(3) / IMU_ACC_BIAS_STD)
+    J = J.at[6, 9].set(1.0 / ODO_SCALE_STD)
+    return J
+
+
 def pose_prior_residual(pose, pose_prior, std6):
     """6-dim pose prior: translation difference + quaternion-error attitude
     (imu_pose_prior_factor.h:42-55)."""

@@ -27,8 +27,6 @@ import jax.numpy as jnp
 
 from ..core import quaternion as quat
 from ..solver.problem import (
-    MIX_DIM,
-    NODE_DIM,
     POSE_LOCAL,
     FactorTables,
     MargPrior,
@@ -133,7 +131,8 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     merged node's 15 coordinates out of the prior, then compact columns.
     ``k`` is a host int."""
     D = cfg.D
-    idx = k * NODE_DIM + jnp.arange(NODE_DIM)
+    ND = cfg.node_dim
+    idx = k * ND + jnp.arange(ND)
     m = jnp.zeros(D).at[idx].set(1.0)
     # restrict to coordinates the prior actually constrains (zero J0
     # columns stay zero through the Schur complement)
@@ -141,15 +140,15 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     J0, e0 = _schur_sqrt(prior.H0, -prior.Jte0, m, (1.0 - m) * act)
 
     # compact: node columns > k move one slot left, last node zeroed
-    nd = cfg.N * NODE_DIM
-    lo, hi = k * NODE_DIM, (k + 1) * NODE_DIM
+    nd = cfg.N * ND
+    lo, hi = k * ND, (k + 1) * ND
     J0 = jnp.concatenate(
-        [J0[:, :lo], J0[:, hi:nd], jnp.zeros((D, NODE_DIM)), J0[:, nd:]], axis=1)
+        [J0[:, :lo], J0[:, hi:nd], jnp.zeros((D, ND)), J0[:, nd:]], axis=1)
     poses0 = jnp.concatenate(
         [prior.x0.poses[:k], prior.x0.poses[k + 1:],
          jnp.zeros((1, 7)).at[0, 6].set(1.0)], axis=0)
     mixes0 = jnp.concatenate(
-        [prior.x0.mixes[:k], prior.x0.mixes[k + 1:], jnp.zeros((1, MIX_DIM))], axis=0)
+        [prior.x0.mixes[:k], prior.x0.mixes[k + 1:], jnp.zeros((1, cfg.mix_dim))], axis=0)
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
     return prior._replace(J0=J0, H0=J0.T @ J0, e0=e0, Jte0=J0.T @ e0, x0=x0)
 
@@ -161,12 +160,13 @@ def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     shift*NODE_DIM; vacated tail columns are zeroed. ext/td/landmark columns
     are unchanged. ``shift`` may be a traced integer."""
     N = cfg.N
-    nd = N * NODE_DIM
+    ND = cfg.node_dim
+    nd = N * ND
 
     keep = (jnp.arange(N) < (N - shift)).astype(prior.J0.dtype)
-    keep_cols = jnp.repeat(keep, NODE_DIM)
+    keep_cols = jnp.repeat(keep, ND)
 
-    Jn = jnp.roll(prior.J0[:, :nd], -shift * NODE_DIM, axis=1) * keep_cols[None, :]
+    Jn = jnp.roll(prior.J0[:, :nd], -shift * ND, axis=1) * keep_cols[None, :]
     J0 = jnp.concatenate([Jn, prior.J0[:, nd:]], axis=1)
 
     poses0 = jnp.roll(prior.x0.poses, -shift, axis=0)
@@ -190,16 +190,17 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     Insertion only happens with free slots (capacity is ensured first), so
     no information falls off the tail."""
     D = cfg.D
-    nd = cfg.N * NODE_DIM
-    lo = k * NODE_DIM
+    ND = cfg.node_dim
+    nd = cfg.N * ND
+    lo = k * ND
     J0 = jnp.concatenate(
-        [prior.J0[:, :lo], jnp.zeros((prior.J0.shape[0], NODE_DIM)),
-         prior.J0[:, lo : nd - NODE_DIM], prior.J0[:, nd:]], axis=1)
+        [prior.J0[:, :lo], jnp.zeros((prior.J0.shape[0], ND)),
+         prior.J0[:, lo : nd - ND], prior.J0[:, nd:]], axis=1)
     poses0 = jnp.concatenate(
         [prior.x0.poses[:k], jnp.zeros((1, 7)).at[0, 6].set(1.0),
          prior.x0.poses[k : cfg.N - 1]], axis=0)
     mixes0 = jnp.concatenate(
-        [prior.x0.mixes[:k], jnp.zeros((1, MIX_DIM)),
+        [prior.x0.mixes[:k], jnp.zeros((1, cfg.mix_dim)),
          prior.x0.mixes[k : cfg.N - 1]], axis=0)
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
     return prior._replace(J0=J0, H0=J0.T @ J0, Jte0=J0.T @ prior.e0, x0=x0)
@@ -243,7 +244,7 @@ def select_marg_factors(tables: FactorTables, cfg: WindowConfig, num_marg, oldes
     lm_m = lm_m.at[r.lm_idx].max(ref_is_old.astype(jnp.float64))
     mask = jnp.concatenate(
         [
-            jnp.repeat(node_m, NODE_DIM),
+            jnp.repeat(node_m, cfg.node_dim),
             jnp.zeros(POSE_LOCAL),  # extrinsic always remains
             jnp.zeros(1),           # td always remains
             lm_m,

@@ -52,6 +52,7 @@ class GinsModel:
             G=max(n_window, 4),
             R=8,
             with_earth=cfg.iswithearth,
+            with_odo=cfg.isuseodo,
         )
         self.int_params = integration_params_from_config(cfg)
         self.out = OutputFiles(outdir) if outdir else None
@@ -209,6 +210,10 @@ class GinsModel:
         mix_std = np.concatenate(
             [np.full(3, 0.1), np.full(3, bg_std), np.full(3, ACCELEROMETER_BIAS_PRIOR_STD)]
         )
+        if self.cfg.isuseodo:
+            # sodo prior: 5000 PPM (ic_gvins.cc:1917,1934)
+            mix_prior = np.concatenate([mix_prior, [float(state0.sodo)]])
+            mix_std = np.concatenate([mix_std, [0.005]])
         self.est.set_prior(pose_prior, pose_std, mix_prior, mix_std)
 
     # ------------------------------------------------------------------

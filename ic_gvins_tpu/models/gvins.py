@@ -56,6 +56,7 @@ class GvinsModel(GinsModel):
             G=cfg.gnss_slots,
             R=cfg.reproj_slots,
             with_earth=cfg.iswithearth,
+            with_odo=cfg.isuseodo,
         )
 
         assert cfg.cam0 is not None, "GVINS needs cam0 configuration"
@@ -80,6 +81,14 @@ class GvinsModel(GinsModel):
         self.outlier_counts = [0, 0]
         self._lm_slots = {}
 
+        # offline Drawer/DrawerRviz equivalent (drawer.cc:25-69,
+        # drawer_rviz.cc:100-195): tracking overlays + path/cloud figure
+        self.drawer = None
+        if cfg.is_use_visualization and outdir is not None:
+            from ..vision.drawer import OfflineDrawer
+
+            self.drawer = OfflineDrawer(outdir)
+
     # ------------------------------------------------------------------
     # replay driver
     # ------------------------------------------------------------------
@@ -93,6 +102,12 @@ class GvinsModel(GinsModel):
         gtime = np.asarray(gnss_data["time"], np.float64)
         gblh = np.asarray(gnss_data["blh"], np.float64)
         gstd = np.asarray(gnss_data["std"], np.float64)
+        # dual-antenna heading rides along so initialization can use it
+        # (ic_gvins.cc:630-647 via GinsModel._try_initialize)
+        gyaw = np.asarray(gnss_data.get("yaw", np.zeros(len(gtime))), np.float64)
+        gyawvalid = np.asarray(
+            gnss_data.get("isyawvalid", np.zeros(len(gtime), bool)), bool
+        )
         ftime = np.asarray(frame_times, np.float64)
 
         events = [("gnss", gtime[k], k) for k in range(len(gtime))]
@@ -113,12 +128,15 @@ class GvinsModel(GinsModel):
                 if self.origin is None:
                     self.origin = gblh[k].copy()
                     self.gravity = float(_cpu(earth.gravity, self.origin))
-                    gnss = dict(time=float(t), blh=np.zeros(3), std=gstd[k].copy())
+                    gnss = dict(time=float(t), blh=np.zeros(3), std=gstd[k].copy(),
+                                yaw=float(gyaw[k]), isyawvalid=bool(gyawvalid[k]))
                 else:
                     gnss = dict(
                         time=float(t),
                         blh=_cpu(earth.global2local, self.origin, gblh[k]),
                         std=gstd[k].copy(),
+                        yaw=float(gyaw[k]),
+                        isyawvalid=bool(gyawvalid[k]),
                     )
 
                 if self.state == "INITIALIZING":
@@ -139,6 +157,8 @@ class GvinsModel(GinsModel):
 
         if self.prop is not None:
             self.prop.propagate_to(float(stream.time[-1]), sample_cb=self._write_samples)
+        if self.drawer is not None:
+            self.drawer.finalize(self.trajectory)
         if self.out:
             self.out.close()
         return np.asarray(self.trajectory) if self.trajectory else np.zeros((0, 8))
@@ -162,7 +182,6 @@ class GvinsModel(GinsModel):
         self.trajectory.append([st.time, *np.asarray(st.p), *np.asarray(st.q)])
         if self.initlength_count >= self.cfg.initlength:
             self.state = "INITIALIZING_VIO"
-        self._stream = stream
 
     # ------------------------------------------------------------------
     # frame path
@@ -188,6 +207,18 @@ class GvinsModel(GinsModel):
         frame.t = p + Rwb @ self.pose_b_c_t
 
         state = self.tracker.track(frame, image)
+
+        if self.drawer is not None and frame.features:
+            # drawTrackingImage: flow line prev->cur + type-colored marker
+            fp = self.tracker.frame_pre
+            prev, cur, types = [], [], []
+            for lm_id, obs in frame.features.items():
+                lm = self.vmap.landmarks.get(lm_id)
+                p_obs = fp.features.get(lm_id) if fp is not None else None
+                prev.append((p_obs.dis if p_obs is not None else obs.dis))
+                cur.append(obs.dis)
+                types.append(lm.lmtype if lm is not None else 0)
+            self.drawer.update_frame(image, prev, cur, types)
 
         if self.tracker.is_new_keyframe or state in (TRACK_FIRST_FRAME, TRACK_LOST):
             self.keyframe_queue.append(frame)
@@ -222,7 +253,8 @@ class GvinsModel(GinsModel):
         self.prop.set_state(st)
         self.trajectory.append([st.time, *np.asarray(st.p), *np.asarray(st.q)])
         if self.tracker.logging_row is not None and self.out:
-            row = self.tracker.logging_row + [len(self.tracker.frame_cur.features), 0.0]
+            row = self.tracker.logging_row + [
+                len(self.tracker.frame_cur.features), self.tracker.track_ms]
             self.out.write_tracking(row)
 
     def _add_keyframe_nodes(self, stream):
@@ -442,9 +474,6 @@ class GvinsModel(GinsModel):
         return t, nrows
 
     def _optimize_visual(self):
-        import time as _time
-
-        t0 = _time.perf_counter()
         est = self.est
         # sync extrinsic into the estimator parameters
         q_bc = rotation_np.from_matrix(self.pose_b_c_R)
@@ -471,7 +500,10 @@ class GvinsModel(GinsModel):
         )
         s1, s2, n_gnss_out, n_reproj_out = stats
         self.iterations = [int(s1.iterations), int(s2.iterations)]
-        self.timecosts[0] = self.timecosts[1] = (_time.perf_counter() - t0) * 500.0
+        # measured per-pass wall times (estimator dispatches the passes
+        # separately; ic_gvins.cc:1019-1022 logs the same two columns)
+        self.timecosts[0] = est.last_solve_times[0] * 1000.0
+        self.timecosts[1] = est.last_solve_times[1] * 1000.0
 
         if not self.vmap.is_maximum_keyframes():
             est.reintegrate_if_needed()
@@ -602,7 +634,18 @@ class GvinsModel(GinsModel):
                 self.vmap.remove_keyframe(f, remove_mappoints=False)
 
     def _marginalize_visual(self):
-        """gvinsMarginalization (ic_gvins.cc:1412-1678)."""
+        """gvinsMarginalization (ic_gvins.cc:1412-1678). Wall time (table
+        rebuild + Schur complement) recorded in timecosts[2]
+        (statistics.txt col 12)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            self._marginalize_visual_impl()
+        finally:
+            self.timecosts[2] = (_time.perf_counter() - t0) * 1000.0
+
+    def _marginalize_visual_impl(self):
         ordered = self.vmap.ordered_keyframes()
         latest = self.vmap.keyframes[ordered[-1]]
         latest.keyframe_state = KEYFRAME_NORMAL
@@ -628,6 +671,9 @@ class GvinsModel(GinsModel):
                 continue
             if self.out:
                 self.out.write_mappoint(lm.pos)
+            if self.drawer is not None:
+                # addNewFixedMappoint at marginalization (ic_gvins.cc:1665)
+                self.drawer.add_fixed_mappoint(lm.pos)
         self.vmap.remove_keyframe(oldest, remove_mappoints=True)
 
     def _write_statistics(self):

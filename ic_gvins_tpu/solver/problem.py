@@ -39,26 +39,45 @@ class WindowConfig(NamedTuple):
     G: int = 24     # GNSS factor slots
     R: int = 2048   # reprojection factor slots
     with_earth: bool = True
+    with_odo: bool = False  # wheel odometer: mix gains sodo, preint 19-res
 
     @property
     def P(self):
         return self.N - 1  # preintegration factor slots (consecutive nodes)
 
     @property
+    def node_dim(self):
+        """Per-node local dim: pose(6) + mix. The mix block grows to 10
+        (v, bg, ba, sodo) with the odometer, as the reference sizes its
+        parameter blocks through numMixParameter
+        (preintegration/preintegration.h:32-119, integration_state.h:59-63)."""
+        return NODE_DIM + 1 if self.with_odo else NODE_DIM
+
+    @property
+    def mix_dim(self):
+        return MIX_DIM + 1 if self.with_odo else MIX_DIM
+
+    @property
+    def preint_res(self):
+        """Preintegration residual dim: 15, or 19 with odometer
+        (dp, dv, dq, dbg, dba, ds, dsodo — preintegration_odo.cc:27-305)."""
+        return 19 if self.with_odo else 15
+
+    @property
     def ext_off(self):
-        return self.N * NODE_DIM
+        return self.N * self.node_dim
 
     @property
     def td_off(self):
-        return self.N * NODE_DIM + POSE_LOCAL
+        return self.ext_off + POSE_LOCAL
 
     @property
     def lm_off(self):
-        return self.N * NODE_DIM + POSE_LOCAL + 1
+        return self.ext_off + POSE_LOCAL + 1
 
     @property
     def D(self):
-        return self.N * NODE_DIM + POSE_LOCAL + 1 + self.L
+        return self.lm_off + self.L
 
 
 class WindowParams(NamedTuple):
@@ -75,7 +94,7 @@ class WindowParams(NamedTuple):
         poses = jnp.zeros((cfg.N, 7)).at[:, 6].set(1.0)
         return WindowParams(
             poses=poses,
-            mixes=jnp.zeros((cfg.N, MIX_DIM)),
+            mixes=jnp.zeros((cfg.N, cfg.mix_dim)),
             ext=jnp.zeros(7).at[6].set(1.0),
             td=jnp.zeros(()),
             invdepths=jnp.full((cfg.L,), 0.1),
@@ -83,7 +102,7 @@ class WindowParams(NamedTuple):
 
     def boxplus(self, cfg: WindowConfig, dx):
         """Retract a local step dx (D,) onto the parameters."""
-        dnodes = dx[: cfg.N * NODE_DIM].reshape(cfg.N, NODE_DIM)
+        dnodes = dx[: cfg.ext_off].reshape(cfg.N, cfg.node_dim)
         poses = jax.vmap(quat.boxplus_pose)(self.poses, dnodes[:, :POSE_LOCAL])
         mixes = self.mixes + dnodes[:, POSE_LOCAL:]
         ext = quat.boxplus_pose(self.ext, dx[cfg.ext_off : cfg.ext_off + POSE_LOCAL])
@@ -121,7 +140,7 @@ class GnssTable(NamedTuple):
 
 
 class PreintTable(NamedTuple):
-    summ: PreintSummary   # batched (P, ...)
+    summ: PreintSummary   # batched (P, ...); PreintOdoSummary when cfg.with_odo
     idx0: jnp.ndarray     # (P,) int32 — factor connects idx0, idx0+1
     valid: jnp.ndarray    # (P,)
 
@@ -129,17 +148,25 @@ class PreintTable(NamedTuple):
     def empty(cfg):
         z3 = jnp.zeros((cfg.P, 3))
         z33 = jnp.zeros((cfg.P, 3, 3))
-        summ = PreintSummary(
-            dt=jnp.ones(cfg.P), dp=z3, dv=z3,
-            dq=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (cfg.P, 1)),
+        qid = jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (cfg.P, 1))
+        nres = cfg.preint_res
+        common = dict(
+            dt=jnp.ones(cfg.P), dp=z3, dv=z3, dq=qid,
             bg0=z3, ba0=z3,
             dp_dbg=z33, dp_dba=z33, dv_dbg=z33, dv_dba=z33, dq_dbg=z33,
-            sqrt_info=jnp.tile(jnp.eye(15), (cfg.P, 1, 1)),
-            cov=jnp.tile(jnp.eye(15), (cfg.P, 1, 1)),
+            sqrt_info=jnp.tile(jnp.eye(nres), (cfg.P, 1, 1)),
+            cov=jnp.tile(jnp.eye(nres), (cfg.P, 1, 1)),
             gravity=z3, iewn=z3, sum_dtpn=z3,
-            end_p=z3, end_q=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (cfg.P, 1)),
-            end_v=z3, end_time=jnp.zeros(cfg.P),
+            end_p=z3, end_q=qid, end_v=z3, end_time=jnp.zeros(cfg.P),
         )
+        if cfg.with_odo:
+            from ..ins.preintegration_odo import PreintOdoSummary
+
+            summ = PreintOdoSummary(
+                ds=z3, sodo0=jnp.zeros(cfg.P), ds_dbg=z33,
+                ds_dsodo=z3, **common)
+        else:
+            summ = PreintSummary(**common)
         return PreintTable(summ=summ, idx0=jnp.zeros(cfg.P, jnp.int32), valid=jnp.zeros(cfg.P))
 
 
@@ -190,8 +217,8 @@ class PriorTable(NamedTuple):
         return PriorTable(
             pose_prior=jnp.zeros(7).at[6].set(1.0),
             pose_prior_std=jnp.ones(6),
-            mix_prior=jnp.zeros(MIX_DIM),
-            mix_prior_std=jnp.ones(MIX_DIM),
+            mix_prior=jnp.zeros(cfg.mix_dim),
+            mix_prior_std=jnp.ones(cfg.mix_dim),
             valid=jnp.zeros(()),
             imuerr_idx=jnp.zeros((), jnp.int32),
             imuerr_valid=jnp.ones(()),
@@ -263,13 +290,33 @@ def _gnss_residuals(params, t: GnssTable, antlever):
     return r  # (G,3) whitened, uncorrected
 
 
-def _preint_residuals(params, t: PreintTable, with_earth):
+def _preint_fns(cfg: WindowConfig):
+    """Variant dispatch, the reference's Preintegration factory
+    (preintegration/preintegration.h:32-119): NORMAL/EARTH use the 15-res
+    factor, ODO/EARTH_ODO the 19-res odometer factor."""
+    if cfg.with_odo:
+        from ..factors import preint_odo_factor as pf
+    else:
+        pf = preint_factor
+    return pf.residual, pf.jacobians
+
+
+def _preint_residuals(params, t: PreintTable, cfg: WindowConfig):
     pose0 = params.poses[t.idx0]
     mix0 = params.mixes[t.idx0]
     pose1 = params.poses[t.idx0 + 1]
     mix1 = params.mixes[t.idx0 + 1]
-    fn = lambda s, a, b, c, d: preint_factor.residual(s, a, b, c, d, with_earth=with_earth)
-    return jax.vmap(fn)(t.summ, pose0, mix0, pose1, mix1)  # (P,15)
+    res_fn, _ = _preint_fns(cfg)
+    fn = lambda s, a, b, c, d: res_fn(s, a, b, c, d, with_earth=cfg.with_earth)
+    return jax.vmap(fn)(t.summ, pose0, mix0, pose1, mix1)  # (P, preint_res)
+
+
+def _imu_error_fns(cfg: WindowConfig):
+    """6-res bias prior, or 7-res with the sodo leg
+    (imu_error_factor.h:45-92)."""
+    if cfg.with_odo:
+        return basic.imu_error_residual_odo, basic.imu_error_jacobian_odo
+    return basic.imu_error_residual, basic.imu_error_jacobian
 
 
 def _reproj_inputs32(params, t: ReprojTable):
@@ -339,7 +386,7 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig):
     rho_g = jnp.where(tables.gnss.robust > 0, rho_g, sg)
     cost = 0.5 * jnp.sum(rho_g * tables.gnss.valid)
 
-    rp = _preint_residuals(params, tables.preint, cfg.with_earth)
+    rp = _preint_residuals(params, tables.preint, cfg)
     cost += 0.5 * jnp.sum(jnp.sum(rp * rp, axis=-1) * tables.preint.valid)
 
     rr = _reproj_residuals(params, tables.reproj)
@@ -349,7 +396,8 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig):
     cost += 0.5 * jnp.sum(rho_r * tables.reproj.valid)
 
     # imu error factor on newest mix
-    re = basic.imu_error_residual(params.mixes[tables.prior.imuerr_idx])
+    imuerr_res, _ = _imu_error_fns(cfg)
+    re = imuerr_res(params.mixes[tables.prior.imuerr_idx])
     cost += 0.5 * tables.prior.imuerr_valid * jnp.sum(re * re)
 
     # init priors
@@ -399,7 +447,7 @@ def _marg_rot_correction(dx0, cfg: WindowConfig):
     info in J0 that error exceeds the true gradient near convergence and
     stalls LM at a non-optimum.  Returns (rc (N+1,3) int32 rotation column
     indices, C (N+1,3,3) Jr⁻¹ blocks)."""
-    node_rc = (jnp.arange(cfg.N, dtype=jnp.int32) * NODE_DIM)[:, None] + jnp.asarray(
+    node_rc = (jnp.arange(cfg.N, dtype=jnp.int32) * cfg.node_dim)[:, None] + jnp.asarray(
         [3, 4, 5], jnp.int32)[None, :]
     ext_rc = cfg.ext_off + jnp.asarray([[3, 4, 5]], jnp.int32)
     rc = jnp.concatenate([node_rc, ext_rc], axis=0)  # (N+1, 3)
@@ -457,7 +505,7 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     Jg = jax.vmap(basic.gnss_jacobian, in_axes=(0, 0, None))(poses, t.std, tables.antlever)
     rg, Jg = correct_blocks(rg, Jg, t.robust > 0)
     w = t.valid
-    cols = (t.idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]  # (G,6)
+    cols = (t.idx * cfg.node_dim)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :]  # (G,6)
     JtJ = _jtj(Jg, Jg, w)
     Jtr = _jtr(Jg, rg, w)
     H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
@@ -467,15 +515,16 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     t = tables.preint
     pose0, mix0 = params.poses[t.idx0], params.mixes[t.idx0]
     pose1, mix1 = params.poses[t.idx0 + 1], params.mixes[t.idx0 + 1]
-    rp = jax.vmap(lambda s, a, b_, c, d: preint_factor.residual(s, a, b_, c, d, with_earth=cfg.with_earth))(
+    pre_res, pre_jac = _preint_fns(cfg)
+    rp = jax.vmap(lambda s, a, b_, c, d: pre_res(s, a, b_, c, d, with_earth=cfg.with_earth))(
         t.summ, pose0, mix0, pose1, mix1
     )
     Jp0, Jm0, Jp1, Jm1 = jax.vmap(
-        lambda s, a, b_, c, d: preint_factor.jacobians(s, a, b_, c, d, with_earth=cfg.with_earth)
+        lambda s, a, b_, c, d: pre_jac(s, a, b_, c, d, with_earth=cfg.with_earth)
     )(t.summ, pose0, mix0, pose1, mix1)
-    Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)  # (P,15,30)
+    Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)  # (P, res, 2*node_dim)
     w = t.valid
-    cols = (t.idx0 * NODE_DIM)[:, None] + jnp.arange(2 * NODE_DIM, dtype=jnp.int32)[None, :]  # (P,30)
+    cols = (t.idx0 * cfg.node_dim)[:, None] + jnp.arange(2 * cfg.node_dim, dtype=jnp.int32)[None, :]
     JtJ = _jtj(Jcat, Jcat, w)
     Jtr = _jtr(Jcat, rp, w)
     H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
@@ -488,8 +537,8 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     w = t.valid
     cols = jnp.concatenate(
         [
-            (t.ref_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :],
-            (t.obs_idx * NODE_DIM)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :],
+            (t.ref_idx * cfg.node_dim)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :],
+            (t.obs_idx * cfg.node_dim)[:, None] + jnp.arange(POSE_LOCAL, dtype=jnp.int32)[None, :],
             jnp.tile(cfg.ext_off + jnp.arange(POSE_LOCAL, dtype=jnp.int32), (cfg.R, 1)),
             (cfg.lm_off + t.lm_idx)[:, None],
             jnp.full((cfg.R, 1), cfg.td_off, dtype=jnp.int32),
@@ -504,9 +553,10 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     # ---- imu error factor (6 res, 9 mix cols of the newest node) ----
     kmix = tables.prior.imuerr_idx
     ev = tables.prior.imuerr_valid
-    re = basic.imu_error_residual(params.mixes[kmix])
-    Je = basic.imu_error_jacobian()
-    cols_e = kmix * NODE_DIM + POSE_LOCAL + jnp.arange(MIX_DIM, dtype=jnp.int32)
+    imuerr_res, imuerr_jac = _imu_error_fns(cfg)
+    re = imuerr_res(params.mixes[kmix])
+    Je = imuerr_jac()
+    cols_e = kmix * cfg.node_dim + POSE_LOCAL + jnp.arange(cfg.mix_dim, dtype=jnp.int32)
     H = H.at[cols_e[:, None], cols_e[None, :]].add(ev * (Je.T @ Je))
     b = b.at[cols_e].add(-ev * (Je.T @ re))
 
@@ -518,7 +568,7 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     b = b.at[:POSE_LOCAL].add(-pv * (Jpp.T @ rpp))
     rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
     Jmp = basic.mix_prior_jacobian(tables.prior.mix_prior_std)
-    sl = slice(POSE_LOCAL, NODE_DIM)
+    sl = slice(POSE_LOCAL, cfg.node_dim)
     H = H.at[sl, sl].add(pv * (Jmp.T @ Jmp))
     b = b.at[sl].add(-pv * (Jmp.T @ rmp))
 
@@ -559,7 +609,7 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     ic_gvins.cc:1629-1676)."""
     Ds = cfg.lm_off
     N, L, R = cfg.N, cfg.L, cfg.R
-    ND = NODE_DIM
+    ND = cfg.node_dim
     f32, f64 = jnp.float32, jnp.float64
 
     Hnodes = jnp.zeros((N, ND, N, ND))   # node-block accumulator
@@ -603,11 +653,12 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     t = tables.preint
     pose0, mix0 = params.poses[t.idx0], params.mixes[t.idx0]
     pose1, mix1 = params.poses[t.idx0 + 1], params.mixes[t.idx0 + 1]
-    rp = jax.vmap(lambda s, a, b_, c, d: preint_factor.residual(s, a, b_, c, d, with_earth=cfg.with_earth))(
+    pre_res, pre_jac = _preint_fns(cfg)
+    rp = jax.vmap(lambda s, a, b_, c, d: pre_res(s, a, b_, c, d, with_earth=cfg.with_earth))(
         t.summ, pose0, mix0, pose1, mix1
     )
     Jp0, Jm0, Jp1, Jm1 = jax.vmap(
-        lambda s, a, b_, c, d: preint_factor.jacobians(s, a, b_, c, d, with_earth=cfg.with_earth)
+        lambda s, a, b_, c, d: pre_jac(s, a, b_, c, d, with_earth=cfg.with_earth)
     )(t.summ, pose0, mix0, pose1, mix1)
     Jcat = jnp.concatenate([Jp0, Jm0, Jp1, Jm1], axis=-1)
     w = t.valid
@@ -687,8 +738,9 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     # ---- imu error factor on newest mix ----
     kmix = tables.prior.imuerr_idx
     ev = tables.prior.imuerr_valid
-    re = basic.imu_error_residual(params.mixes[kmix])
-    Je = basic.imu_error_jacobian()
+    imuerr_res, imuerr_jac = _imu_error_fns(cfg)
+    re = imuerr_res(params.mixes[kmix])
+    Je = imuerr_jac()
     oh_e = (jnp.arange(N) == kmix).astype(jnp.float64) * ev
     Ee = jnp.pad(Je.T @ Je, ((POSE_LOCAL, 0), (POSE_LOCAL, 0)))
     Hnodes = Hnodes + _band_embed(jnp.diag(oh_e), jnp.broadcast_to(Ee, (N, ND, ND)))
@@ -746,7 +798,7 @@ def block_matvec(Hss, Hsl, hll, x, cfg: WindowConfig):
 
 def column_activity(tables: FactorTables, cfg: WindowConfig):
     """(D,) 0/1 mask of optimizable columns."""
-    node_act = jnp.repeat(tables.node_valid, NODE_DIM)
+    node_act = jnp.repeat(tables.node_valid, cfg.node_dim)
     return jnp.concatenate(
         [
             node_act,

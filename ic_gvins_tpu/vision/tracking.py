@@ -101,6 +101,7 @@ class Tracker:
         self.parallax_ref_counts = 0
         self.tracked_mappoints = []
         self.logging_row = None
+        self.track_ms = 0.0
 
     # ------------------------------------------------------------------
     # helpers
@@ -195,7 +196,18 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def track(self, frame: VFrame, image):
-        """image: (H,W) grayscale array (0..255)."""
+        """image: (H,W) grayscale array (0..255). Wall time of the whole
+        call is recorded in ``track_ms`` (tracking.txt col 7,
+        tracking.cc:309-315)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            return self._track_impl(frame, image)
+        finally:
+            self.track_ms = (_time.perf_counter() - t0) * 1000.0
+
+    def _track_impl(self, frame: VFrame, image):
         self.is_new_keyframe = False
         self.logging_row = None
 

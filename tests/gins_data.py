@@ -18,6 +18,9 @@ def make_gins_dataset(
     lever=(-0.3, 0.01, 0.35),
     origin_deg=(30.5, 114.3, 40.0),
     seed=0,
+    with_odo=False,
+    odo_scale_err=0.01,
+    odo_noise=0.02,
 ):
     """Timeline: 0-4 s stationary, 4-6 s accelerate (1 m/s^2 body-x),
     6-24 s gentle coordinated turn. IMU increments are generated in the body
@@ -93,8 +96,20 @@ def make_gins_dataset(
     dtheta_m = (w + bg) * dt + rng.normal(0, arw * np.sqrt(dt), (n, 3))
     dvel_m = (f + ba) * dt + rng.normal(0, vrw * np.sqrt(dt), (n, 3))
 
+    odovel = np.zeros(n)
+    if with_odo:
+        # wheel odometer distance increments in the vehicle frame (abv=0,
+        # lodo=0): true body-x velocity integrated per sample, scaled by the
+        # wheel error (measured*(1+sodo)=true => sodo ~= odo_scale_err) with
+        # white increment noise
+        v_body_x = np.einsum("ij,ij->i", v_true,
+                             np.stack([np.asarray(quat.to_matrix(jnp.asarray(q)))[:, 0]
+                                       for q in q_true]))
+        odovel = (v_body_x * dt) * (1.0 - odo_scale_err) + rng.normal(
+            0, odo_noise * np.sqrt(dt), n)
+
     imu_data = dict(
-        time=t, dt=np.full(n, dt), dtheta=dtheta_m, dvel=dvel_m, odovel=np.zeros(n)
+        time=t, dt=np.full(n, dt), dtheta=dtheta_m, dvel=dvel_m, odovel=odovel
     )
 
     # GNSS at integer seconds: antenna position + noise, output geodetic

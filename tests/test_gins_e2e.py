@@ -116,6 +116,51 @@ def test_long_gnss_gap_chains_nodes():
     assert errs[-4:].mean() < 0.15, f"post-outage err {errs[-4:].mean():.3f} m"
 
 
+def test_odo_replay_converges():
+    """GNSS/INS + wheel odometer replay (ODO preintegration variant): the
+    19-res factors and the 10-dim mix block (sodo) are live in the window
+    solve (preintegration.h:32-119, preintegration_odo.cc:27-305) and the
+    wheel-scale error is estimated."""
+    scale_err = 0.01
+    imu_data, gnss_data, truth = make_gins_dataset(
+        with_odo=True, odo_scale_err=scale_err)
+    cfg = parse_config(
+        dict(
+            initlength=3,
+            imudatarate=200,
+            iswithearth=False,
+            antlever=list(truth["lever"]),
+            imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
+            gnssthreshold=20,
+            optimize_windows_size=10,
+            isuseodo=True,
+            # tight forward, loose lateral/vertical: the synthetic world has
+            # real sideslip (~0.1 m/s) the wheel cannot observe
+            odometer=dict(std=[0.02, 0.5, 0.5], srw=1000.0,
+                          abv=[0.0, 0.0, 0.0], lodo=[0.0, 0.0, 0.0]),
+        )
+    )
+    model = GinsModel(cfg)
+    traj = model.run(imu_data, gnss_data)
+    assert model.est is not None and model.est.wcfg.with_odo
+    assert model.est.mixes.shape[1] == 10
+
+    rate = 200.0
+    offset = truth["gnss_local"][0]
+    errs = []
+    for row in traj[2:]:
+        t, p = row[0], row[1:4]
+        i = int(round(t * rate)) - 1
+        errs.append(np.linalg.norm(p + offset - truth["p"][i]))
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.08, f"mean pos err {errs.mean():.3f} m"
+
+    # wheel-scale estimate moves toward the injected error (sodo prior std
+    # is 0.005 — ic_gvins.cc:1917 — so full recovery isn't expected in 24 s)
+    sodo = float(model.est.mixes[model.est.n_nodes - 1, 9])
+    assert 0.2 * scale_err < sodo < 3.0 * scale_err, f"sodo {sodo:.5f}"
+
+
 def test_dual_antenna_yaw_initialization():
     """With isyawvalid set, the init heading comes from the GNSS yaw field
     (ic_gvins.cc:631-633), not from the velocity direction."""
