@@ -56,9 +56,10 @@ def save_checkpoint(path, est: SlidingWindowEstimator, extra=None):
     np.savez_compressed(path, **out)
 
 
-def _unflatten(prefix, template, data):
+def _unflatten(prefix, template, data, numpy_leaves=False):
     leaves, treedef = jax.tree_util.tree_flatten(template)
-    new = [jnp.asarray(data[f"{prefix}{i}"]) for i in range(len(leaves))]
+    conv = np.array if numpy_leaves else jnp.asarray
+    new = [conv(data[f"{prefix}{i}"]) for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, new)
 
 
@@ -73,8 +74,11 @@ def load_checkpoint(path, est: SlidingWindowEstimator):
     est.ext = data["ext"].copy()
     est.td = float(data["td"])
     est.gnss_entries = [GnssEntry(r[0], r[1:4], r[4:7]) for r in data["gnss"]]
-    est.preint_table = _unflatten("preint_", PreintTable.empty(est.wcfg), data)
-    est.seg_store = _unflatten("segs_", ImuBatch.zeros((est.wcfg.P, est.S)), data)
+    # interval tables are writable numpy host mirrors (see estimator)
+    est.preint_table = _unflatten(
+        "preint_", PreintTable.empty(est.wcfg), data, numpy_leaves=True)
+    est.seg_store = _unflatten(
+        "segs_", ImuBatch.zeros((est.wcfg.P, est.S)), data, numpy_leaves=True)
     if int(data["has_marg"]):
         est.marg_prior = _unflatten("marg_", MargPrior.empty(est.wcfg), data)
     else:

@@ -29,13 +29,56 @@ from ..solver.problem import (
 
 MINIMUM_TIME_INTERVAL = 1.0e-4
 
-
-def _tree_set(tree, idx, leaf_tree):
-    return jax.tree_util.tree_map(lambda a, v: a.at[idx].set(v), tree, leaf_tree)
+import functools as _functools
 
 
-def _tree_roll(tree, shift):
-    return jax.tree_util.tree_map(lambda a: jnp.roll(a, -shift, axis=0), tree)
+@_functools.partial(jax.jit, static_argnums=(4, 5))
+def _preint_jit(int_params, imu, st, iewn, with_odo, with_earth):
+    if with_odo:
+        from ..ins import preintegration_odo as pre_odo
+
+        return pre_odo.preintegrate_odo(int_params, imu, st,
+                                        with_earth=with_earth, iewn=iewn)
+    return pre.preintegrate(int_params, imu, st, with_earth=with_earth, iewn=iewn)
+
+
+@_functools.partial(jax.jit, static_argnums=(2, 3))
+def _solve_jit(p, t, wc, iters):
+    return lm.solve(p, t, wc, iters)[:2]
+
+
+@_functools.partial(jax.jit, static_argnums=(2,))
+def _surgery_jit(p, t, wc):
+    return lm.outlier_surgery(p, t, wc)
+
+
+@_functools.partial(jax.jit, static_argnums=(4,))
+def _marg_jit(params, tables, num_marg, oldest, wc):
+    marg_tables, mask, lm_m = marg.select_marg_factors(tables, wc, num_marg, oldest)
+    prior = marg.marginalize(params, marg_tables, mask, wc)
+    prior = marg.shift_prior(prior, wc, num_marg)
+    return prior, lm_m
+
+
+def _np_tree(tree):
+    """Writable numpy copy of a (device or numpy) pytree."""
+    return jax.tree_util.tree_map(lambda a: np.array(a), tree)
+
+
+def _np_set(tree, idx, leaf_tree):
+    """In-place row write on a numpy pytree (host mirror edit)."""
+    def setleaf(a, v):
+        a[idx] = np.asarray(v)
+        return a
+    return jax.tree_util.tree_map(setleaf, tree, leaf_tree)
+
+
+def _np_roll(tree, shift):
+    """In-place roll-left on a numpy pytree."""
+    def roll(a):
+        a[:] = np.roll(a, -shift, axis=0)
+        return a
+    return jax.tree_util.tree_map(roll, tree)
 
 
 class GnssEntry:
@@ -71,38 +114,35 @@ class SlidingWindowEstimator:
         self.gnss_entries = []  # list[GnssEntry]
         self.segments_np = [None] * wcfg.P  # per-interval numpy ImuBatch dicts
 
-        # device state
-        self.preint_table = PreintTable.empty(wcfg)
-        self.seg_store = ImuBatch.zeros((wcfg.P, preint_samples))
+        # interval tables: NUMPY host mirrors, mutated in place by the
+        # window bookkeeping and converted (with copy — see build_params'
+        # aliasing note) to device tables once per solver episode. Editing
+        # them as device arrays compiled a fresh tiny XLA program for every
+        # distinct slot index/shift (hundreds of compiles per replay).
+        self.preint_table = _np_tree(PreintTable.empty(wcfg))
+        self.seg_store = _np_tree(ImuBatch.zeros((wcfg.P, preint_samples)))
+        # immutable empty templates, shared across episodes (FactorTables
+        # .empty allocates the full (D,D) marg-prior zeros — rebuilding it
+        # per episode cost ~30 ms of pure allocation on the frame path)
+        self._empty_tables = FactorTables.empty(wcfg)
+        self._zero_params = WindowParams.zeros(wcfg)
         self.marg_prior = None  # MargPrior or None
         self.prior_cfg = None   # dict for init priors or None
         self.ext = np.concatenate([np.zeros(3), np.array([0, 0, 0, 1.0])])
         self.td = 0.0
 
-        # jitted kernels (bound to static config)
+        # jitted kernels: module-level with the (hashable) WindowConfig as a
+        # static argument, so compile caches are shared across estimator
+        # instances — per-instance jit lambdas recompiled the whole solver
+        # for every new model in a process
         wc = wcfg
-        if wc.with_odo:
-            from ..ins import preintegration_odo as pre_odo
-
-            self._jit_preint = jax.jit(
-                lambda imu, st, iewn: pre_odo.preintegrate_odo(
-                    self.int_params, imu, st, with_earth=wc.with_earth, iewn=iewn
-                )
-            )
-        else:
-            self._jit_preint = jax.jit(
-                lambda imu, st, iewn: pre.preintegrate(
-                    self.int_params, imu, st, with_earth=wc.with_earth, iewn=iewn
-                )
-            )
-        self._jit_solve = jax.jit(
-            lambda p, t, iters: lm.solve(p, t, wc, iters)[:2], static_argnums=(2,)
-        )
-        self._jit_surgery = jax.jit(lambda p, t: lm.outlier_surgery(p, t, wc))
+        self._jit_preint = lambda imu, st, iewn: _preint_jit(
+            self.int_params, imu, st, iewn, wc.with_odo, wc.with_earth)
+        self._jit_solve = lambda p, t, iters: _solve_jit(p, t, wc, iters)
+        self._jit_surgery = lambda p, t: _surgery_jit(p, t, wc)
         self.last_solve_times = (0.0, 0.0)  # (pass1 s, pass2 s), set by optimize
-        self._jit_marginalize = jax.jit(
-            lambda params, tables, num_marg, oldest: self._marg_impl(params, tables, num_marg, oldest)
-        )
+        self._jit_marginalize = lambda params, tables, num_marg, oldest: _marg_jit(
+            params, tables, num_marg, oldest, wc)
 
     # ------------------------------------------------------------------
     # node management
@@ -147,12 +187,17 @@ class SlidingWindowEstimator:
     def node_state(self, k) -> NavState:
         # jnp.array: self.poses[k] is a VIEW into the in-place-mutated host
         # mirror (see build_params)
-        mix10 = self.mixes[k] if self.wcfg.with_odo else np.concatenate(
-            [self.mixes[k], [0.0]])
-        return NavState.from_pose_mix(
-            jnp.asarray(self.times[k]),
-            jnp.array(self.poses[k]),
-            jnp.array(mix10),
+        # numpy NavState with copies: eager jnp ops here cost ~3 ms per
+        # call on the frame path, and the host mirrors are mutated in place
+        # (copies are the aliasing-race guard — see build_params)
+        pose = self.poses[k]
+        mix = self.mixes[k]
+        sodo = np.float64(mix[9]) if self.wcfg.with_odo else np.float64(0.0)
+        return NavState(
+            time=np.float64(self.times[k]),
+            p=pose[:3].copy(), q=pose[3:7].copy(),
+            v=mix[:3].copy(), bg=mix[3:6].copy(), ba=mix[6:9].copy(),
+            sodo=sodo, sg=np.zeros(3), sa=np.zeros(3),
         )
 
     def latest_state(self) -> NavState:
@@ -188,17 +233,15 @@ class SlidingWindowEstimator:
         seg = self._pad_segment(imu_series)
         self.segments_np[k] = seg
         seg_dev = ImuBatch(**{f: jnp.asarray(seg[f]) for f in ImuBatch._fields})
-        self.seg_store = _tree_set(self.seg_store, k, seg_dev)
+        _np_set(self.seg_store, k, ImuBatch(**seg))
 
         st0 = self.node_state(k)
         iewn = self._segment_iewn(self.poses[k, :3])
         summ = self._jit_preint(seg_dev, st0, iewn)
 
-        self.preint_table = PreintTable(
-            summ=_tree_set(self.preint_table.summ, k, summ),
-            idx0=self.preint_table.idx0.at[k].set(k),
-            valid=self.preint_table.valid.at[k].set(1.0),
-        )
+        _np_set(self.preint_table.summ, k, _np_tree(summ))
+        self.preint_table.idx0[k] = k
+        self.preint_table.valid[k] = 1.0
 
         self.n_nodes += 1
         self.times[self.n_nodes - 1] = time
@@ -238,22 +281,27 @@ class SlidingWindowEstimator:
     def build_tables(self, *, ext_active=False, td_active=False,
                      reproj_table=None, lm_valid=None) -> FactorTables:
         wc = self.wcfg
-        tables = FactorTables.empty(wc)
+        tables = self._empty_tables
 
-        # GNSS
-        g = GnssTable.empty(wc)
+        # GNSS — assembled in numpy, one device conversion (eager per-slot
+        # .at[].set compiled a distinct scatter program per slot index)
+        g_idx = np.zeros(wc.G, np.int32)
+        g_blh = np.zeros((wc.G, 3))
+        g_std = np.ones((wc.G, 3))
+        g_val = np.zeros(wc.G)
         slot = 0
         for entry in self.gnss_entries:
             k = self._node_index_of_time(entry.time)
             if k < 0 or slot >= wc.G:
                 continue
-            g = g._replace(
-                idx=g.idx.at[slot].set(k),
-                blh=g.blh.at[slot].set(jnp.asarray(entry.blh)),
-                std=g.std.at[slot].set(jnp.asarray(entry.std)),
-                valid=g.valid.at[slot].set(1.0),
-            )
+            g_idx[slot] = k
+            g_blh[slot] = entry.blh
+            g_std[slot] = entry.std
+            g_val[slot] = 1.0
             slot += 1
+        g = GnssTable(idx=jnp.asarray(g_idx), blh=jnp.asarray(g_blh),
+                      std=jnp.asarray(g_std), valid=jnp.asarray(g_val),
+                      robust=jnp.ones(()))
 
         # priors
         pr = tables.prior._replace(imuerr_idx=jnp.asarray(self.n_nodes - 1, jnp.int32))
@@ -269,7 +317,9 @@ class SlidingWindowEstimator:
 
         tables = tables._replace(
             gnss=g,
-            preint=self.preint_table,
+            # jnp.array (copy): the numpy mirror is mutated in place by the
+            # window bookkeeping (see build_params' aliasing note)
+            preint=jax.tree_util.tree_map(jnp.array, self.preint_table),
             prior=pr,
             antlever=jnp.asarray(self.antlever),
             node_valid=(jnp.arange(wc.N) < self.n_nodes).astype(jnp.float64),
@@ -286,7 +336,7 @@ class SlidingWindowEstimator:
 
     def build_params(self, invdepths=None) -> WindowParams:
         wc = self.wcfg
-        p = WindowParams.zeros(wc)
+        p = self._zero_params
         # jnp.array (copy=True), NOT jnp.asarray: asarray zero-copies the
         # numpy host mirrors on CPU backends, and the window bookkeeping
         # mutates poses/mixes IN PLACE (marginalize/merge shifts) while the
@@ -373,8 +423,8 @@ class SlidingWindowEstimator:
         n_int = self.n_nodes - 1
         if n_int <= 0:
             return 0
-        bg_lin = np.asarray(self.preint_table.summ.bg0)
-        ba_lin = np.asarray(self.preint_table.summ.ba0)
+        bg_lin = self.preint_table.summ.bg0
+        ba_lin = self.preint_table.summ.ba0
         dbg = np.linalg.norm(self.mixes[:P, 3:6] - bg_lin, axis=1)
         dba = np.linalg.norm(self.mixes[:P, 6:9] - ba_lin, axis=1)
         need = (
@@ -384,20 +434,13 @@ class SlidingWindowEstimator:
         if not need.any():
             return 0
         for k in np.nonzero(need)[0]:
-            seg_dev = jax.tree_util.tree_map(lambda a: a[int(k)], self.seg_store)
+            seg_dev = jax.tree_util.tree_map(
+                lambda a: jnp.array(a[int(k)]), self.seg_store)
             st0 = self.node_state(int(k))
             iewn = self._segment_iewn(self.poses[int(k), :3])
             summ = self._jit_preint(seg_dev, st0, iewn)
-            self.preint_table = self.preint_table._replace(
-                summ=_tree_set(self.preint_table.summ, int(k), summ)
-            )
+            _np_set(self.preint_table.summ, int(k), _np_tree(summ))
         return int(need.sum())
-
-    def _marg_impl(self, params, tables, num_marg, oldest):
-        marg_tables, mask, lm_m = marg.select_marg_factors(tables, self.wcfg, num_marg, oldest)
-        prior = marg.marginalize(params, marg_tables, mask, self.wcfg)
-        prior = marg.shift_prior(prior, self.wcfg, num_marg)
-        return prior, lm_m
 
     def marginalize(self, num_marg, oldest_kf_node=0, tables=None, params=None):
         """Marginalize nodes [0, num_marg); shift window left. Returns the
@@ -422,17 +465,13 @@ class SlidingWindowEstimator:
         self.segments_np = self.segments_np[num_marg:] + [None] * num_marg
         self.gnss_entries = [e for e in self.gnss_entries if e.time > last_time - MINIMUM_TIME_INTERVAL]
 
-        # device shifts: preint table + segment store
-        self.preint_table = PreintTable(
-            summ=_tree_roll(self.preint_table.summ, num_marg),
-            idx0=self.preint_table.idx0,  # slot k always links k->k+1
-            valid=jnp.roll(self.preint_table.valid, -num_marg).at[
-                self.wcfg.P - num_marg :
-            ].set(0.0)
-            if num_marg > 0
-            else self.preint_table.valid,
-        )
-        self.seg_store = _tree_roll(self.seg_store, num_marg)
+        # host shifts of the interval mirrors (slot k always links k->k+1,
+        # so idx0 is untouched)
+        _np_roll(self.preint_table.summ, num_marg)
+        self.preint_table.valid[:] = np.roll(self.preint_table.valid, -num_marg)
+        if num_marg > 0:
+            self.preint_table.valid[self.wcfg.P - num_marg:] = 0.0
+        _np_roll(self.seg_store, num_marg)
         return lm_m
 
     def truncate_to(self, k):
@@ -442,9 +481,7 @@ class SlidingWindowEstimator:
         assert 1 <= k <= self.n_nodes
         dropped = list(self.times[k : self.n_nodes])
         P = self.wcfg.P
-        inv_valid = np.array(self.preint_table.valid)  # copy: jax buffers are read-only
-        inv_valid[max(k - 1, 0) :] = 0.0
-        self.preint_table = self.preint_table._replace(valid=jnp.asarray(inv_valid))
+        self.preint_table.valid[max(k - 1, 0):] = 0.0
         for j in range(max(k - 1, 0), P):
             self.segments_np[j] = None
         self.n_nodes = k
@@ -463,7 +500,7 @@ class SlidingWindowEstimator:
         seg = self._pad_segment(merged)
         self.segments_np[k - 1] = seg
         seg_dev = ImuBatch(**{f: jnp.asarray(seg[f]) for f in ImuBatch._fields})
-        self.seg_store = _tree_set(self.seg_store, k - 1, seg_dev)
+        _np_set(self.seg_store, k - 1, ImuBatch(**seg))
 
         st0 = self.node_state(k - 1)
         iewn = self._segment_iewn(self.poses[k - 1, :3])
@@ -479,22 +516,19 @@ class SlidingWindowEstimator:
         self.segments_np = (
             self.segments_np[: k - 1 + 1][: k] + self.segments_np[k + 1 :] + [None]
         )
-        # rebuild device interval tables from k-1 on: roll intervals > k left
-        P = self.wcfg.P
+        # roll interval mirrors > k left by one; slot k-1 gets the merge
 
-        def roll_tail(arr):
-            head = arr[: k]
-            tail = jnp.concatenate([arr[k + 1 :], jnp.zeros_like(arr[:1])], axis=0)
-            return jnp.concatenate([head, tail], axis=0)
+        def roll_tail(a):
+            tail = a[k + 1 :].copy()
+            a[k : k + len(tail)] = tail
+            a[k + len(tail) :] = 0
+            return a
 
-        self.preint_table = PreintTable(
-            summ=_tree_set(
-                jax.tree_util.tree_map(roll_tail, self.preint_table.summ), k - 1, summ
-            ),
-            idx0=self.preint_table.idx0,
-            valid=roll_tail(self.preint_table.valid).at[k - 1].set(1.0),
-        )
-        self.seg_store = jax.tree_util.tree_map(roll_tail, self.seg_store)
+        jax.tree_util.tree_map(roll_tail, self.preint_table.summ)
+        roll_tail(self.preint_table.valid)
+        _np_set(self.preint_table.summ, k - 1, _np_tree(summ))
+        self.preint_table.valid[k - 1] = 1.0
+        jax.tree_util.tree_map(roll_tail, self.seg_store)
 
         # the prior's node columns must follow the slot compaction (see
         # marg.drop_node_from_prior) or it constrains the wrong nodes

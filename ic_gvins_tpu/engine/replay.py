@@ -20,6 +20,17 @@ from ..ins import mechanization as mech
 MINIMUM_TIME_INTERVAL = 1.0e-4
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(5,))
+def _mech_scan_jit(g, iw, st, imu, prev, iswithearth):
+    return mech.mechanize_scan(
+        mech.MechConfig(gravity=g, iewn=iw, iswithearth=iswithearth),
+        st, imu, imu_prev=prev,
+    )
+
+
 class ImuStream:
     """Host-side random access into the replayed IMU stream.
 
@@ -122,13 +133,10 @@ class InsPropagator:
         self.chunk = chunk
         self.gravity = jnp.asarray(gravity)
         self.iewn = jnp.asarray(iewn)
-        # iswithearth is static (closed over); gravity/iewn are traced args
-        self._jit_scan = jax.jit(
-            lambda g, iw, st, imu, prev: mech.mechanize_scan(
-                mech.MechConfig(gravity=g, iewn=iw, iswithearth=iswithearth),
-                st, imu, imu_prev=prev,
-            )
-        )
+        # module-level jit (shared compile cache across propagator
+        # instances); iswithearth is a static argument
+        self._jit_scan = lambda g, iw, st, imu, prev: _mech_scan_jit(
+            g, iw, st, imu, prev, iswithearth)
         self.state = None     # NavState
         self.cursor = 0       # next sample index to process
 

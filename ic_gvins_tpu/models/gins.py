@@ -34,6 +34,12 @@ GYROSCOPE_BIAS_PRIOR_STD = 7200 * D2R / 3600
 ACCELEROMETER_BIAS_PRIOR_STD = 20000 * 1.0e-5
 
 
+import functools as _functools
+
+_zero_vel_jit = _functools.partial(jax.jit, static_argnums=(3,))(
+    mech.detect_zero_velocity)
+
+
 def _cpu(fn, *args):
     dev = jax.local_devices(backend="cpu")[0]
     with jax.default_device(dev):
@@ -130,10 +136,22 @@ class GinsModel:
         if i1 - i0 < 20:
             return False
 
-        dtheta = jnp.asarray(stream.dtheta[i0:i1])
-        dvel = jnp.asarray(stream.dvel[i0:i1])
-        is_zero, mean_th, mean_dv = mech.detect_zero_velocity(
-            dtheta, dvel, jnp.ones(i1 - i0), self.cfg.imudatarate
+        # pad to a fixed bucket: an eager call with the raw (varying) sample
+        # count re-traces and re-compiles the reduction for every distinct
+        # GNSS-pair length
+        n = i1 - i0
+        S = 64
+        while S < n:
+            S *= 2
+        dtheta = np.zeros((S, 3))
+        dtheta[:n] = stream.dtheta[i0:i1]
+        dvel = np.zeros((S, 3))
+        dvel[:n] = stream.dvel[i0:i1]
+        mask = np.zeros(S)
+        mask[:n] = 1.0
+        is_zero, mean_th, mean_dv = _zero_vel_jit(
+            jnp.asarray(dtheta), jnp.asarray(dvel), jnp.asarray(mask),
+            self.cfg.imudatarate,
         )
         if bool(is_zero):
             self._bg = np.asarray(mean_th) * self.cfg.imudatarate

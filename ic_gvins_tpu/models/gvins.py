@@ -423,6 +423,8 @@ class GvinsModel(GinsModel):
         wc = self.wcfg
         rows = dict(ref_idx=[], obs_idx=[], lm_idx=[], pts0=[], pts1=[],
                     vel0=[], vel1=[], td0=[], td1=[])
+        # collect undistorted pixels, ONE batched pixel2cam at the end (the
+        # per-row call was ~90 numpy camera dispatches per frame)
         for lm_id, slot in slots.items():
             lm = self.vmap.landmarks[lm_id]
             ref = lm.ref_frame
@@ -432,7 +434,6 @@ class GvinsModel(GinsModel):
             ref_obs = ref.features.get(lm_id)
             if ref_obs is None:
                 continue
-            pc0 = vcam.pixel2cam(self.camera, np.asarray(ref_obs.undis))
             for obs in lm.observations:
                 f = obs.frame
                 if obs.outlier or f is ref or not f.is_keyframe:
@@ -444,33 +445,55 @@ class GvinsModel(GinsModel):
                     continue
                 if len(rows["ref_idx"]) >= wc.R:
                     break
-                pc1 = vcam.pixel2cam(self.camera, np.asarray(obs.undis))
                 rows["ref_idx"].append(ref_node)
                 rows["obs_idx"].append(obs_node)
                 rows["lm_idx"].append(slot)
-                rows["pts0"].append(pc0)
-                rows["pts1"].append(pc1)
+                rows["pts0"].append(ref_obs.undis)
+                rows["pts1"].append(obs.undis)
                 rows["vel0"].append([ref_obs.velocity[0], ref_obs.velocity[1], 0.0])
                 rows["vel1"].append([obs.velocity[0], obs.velocity[1], 0.0])
                 rows["td0"].append(ref.td)
                 rows["td1"].append(f.td)
+        if rows["ref_idx"]:
+            rows["pts0"] = list(vcam.pixel2cam(self.camera, np.asarray(rows["pts0"])))
+            rows["pts1"] = list(vcam.pixel2cam(self.camera, np.asarray(rows["pts1"])))
 
-        t = ReprojTable.empty(wc)
+        # assemble padded tables in numpy, ONE device conversion per array:
+        # eager .at[:nrows].set compiles a fresh scatter program for every
+        # distinct row count (hundreds of XLA compiles over a replay)
         nrows = len(rows["ref_idx"])
+        R = wc.R
+
+        def pad2(vals, fill):
+            out = np.full((R, 3), 0.0)
+            out[:, 2] = fill
+            if nrows:
+                out[:nrows] = np.asarray(vals)
+            return jnp.asarray(out)
+
+        def pad1(vals, dtype=np.float64):
+            out = np.zeros(R, dtype)
+            if nrows:
+                out[:nrows] = np.asarray(vals, dtype)
+            return jnp.asarray(out)
+
+        obs_idx = np.ones(R, np.int32)
         if nrows:
-            t = t._replace(
-                ref_idx=t.ref_idx.at[:nrows].set(jnp.asarray(rows["ref_idx"], jnp.int32)),
-                obs_idx=t.obs_idx.at[:nrows].set(jnp.asarray(rows["obs_idx"], jnp.int32)),
-                lm_idx=t.lm_idx.at[:nrows].set(jnp.asarray(rows["lm_idx"], jnp.int32)),
-                pts0=t.pts0.at[:nrows].set(jnp.asarray(np.stack(rows["pts0"]))),
-                pts1=t.pts1.at[:nrows].set(jnp.asarray(np.stack(rows["pts1"]))),
-                vel0=t.vel0.at[:nrows].set(jnp.asarray(np.asarray(rows["vel0"]))),
-                vel1=t.vel1.at[:nrows].set(jnp.asarray(np.asarray(rows["vel1"]))),
-                td0=t.td0.at[:nrows].set(jnp.asarray(rows["td0"])),
-                td1=t.td1.at[:nrows].set(jnp.asarray(rows["td1"])),
-                valid=t.valid.at[:nrows].set(1.0),
-            )
-        t = t._replace(sqrt_info=jnp.asarray(self.reproj_sqrt_info))
+            obs_idx[:nrows] = np.asarray(rows["obs_idx"], np.int32)
+        t = ReprojTable(
+            ref_idx=pad1(rows["ref_idx"], np.int32),
+            obs_idx=jnp.asarray(obs_idx),
+            lm_idx=pad1(rows["lm_idx"], np.int32),
+            pts0=pad2(rows["pts0"], 1.0),
+            pts1=pad2(rows["pts1"], 1.0),
+            vel0=pad2(rows["vel0"], 0.0),
+            vel1=pad2(rows["vel1"], 0.0),
+            td0=pad1(rows["td0"]),
+            td1=pad1(rows["td1"]),
+            valid=jnp.asarray((np.arange(R) < nrows).astype(np.float64)),
+            sqrt_info=jnp.asarray(self.reproj_sqrt_info),
+            robust=jnp.ones(()),
+        )
         return t, nrows
 
     def _optimize_visual(self):

@@ -19,6 +19,7 @@ Constants (tracking.h:112-115): 200 px detection blocks, 3+1 pyramid levels,
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,40 @@ TRACK_INITIALIZING = 1
 TRACK_TRACKING = 2
 TRACK_PASSED = 3
 TRACK_LOST = 4
+
+# --------------------------------------------------------------------------
+# module-level jitted stages: compile caches shared across Tracker instances
+# (shapes/static config are part of the jit cache key)
+# --------------------------------------------------------------------------
+
+import functools as _functools
+
+_pyr_jit = jax.jit(
+    lambda img: pyramid.build_pyramid(pyramid.clahe(img), lk.PYRAMID_LEVELS))
+_lk_jit = jax.jit(lk.track_bidirectional)
+_ransac_jit = jax.jit(ransac.fundamental_ransac)
+_tri_jit = jax.jit(ransac.triangulate_batch)
+
+
+def _detect_body(img, mask, counts, block_rows, block_cols, per_block, min_distance):
+    corners, resp, valid = feat.detect_blockwise(
+        img, mask, counts, block_rows=block_rows, block_cols=block_cols,
+        per_block=per_block, min_distance=min_distance)
+    corners = feat.corner_subpix(img, corners, valid)
+    return corners, valid
+
+
+@_functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _detect_jit(img, pts, wts, counts, block_rows, block_cols, per_block, min_distance):
+    """Fused occupancy-mask + blockwise Shi-Tomasi + subpixel refine."""
+    mask = feat.occupancy_mask(pts, wts, img.shape, min_distance)
+    return _detect_body(img, mask, counts, block_rows, block_cols, per_block, min_distance)
+
+
+@_functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _detect_nomask_jit(img, counts, block_rows, block_cols, per_block, min_distance):
+    return _detect_body(img, jnp.ones_like(img), counts,
+                        block_rows, block_cols, per_block, min_distance)
 
 
 class Tracker:
@@ -102,6 +137,26 @@ class Tracker:
         self.tracked_mappoints = []
         self.logging_row = None
         self.track_ms = 0.0
+
+        # jitted fixed-shape device stages (module-level, shared caches —
+        # see _pyr_jit etc. below). Eager per-frame op dispatch re-traces
+        # every call (the subpix/RANSAC while_loops even re-COMPILE), and
+        # the triangulation/occupancy call sites had data-dependent shapes —
+        # at replay rate that cost seconds per frame of pure tracing and
+        # compilation. Per-instance jit lambdas are just as bad: every new
+        # Tracker/model instance recompiles everything.
+        self._jit_pyr = _pyr_jit
+        self._jit_lk = _lk_jit
+        self._jit_ransac = _ransac_jit
+        self._jit_tri = _tri_jit
+        self._detect_static = (self.block_rows, self.block_cols,
+                               self.per_block, self.min_pixel_distance)
+
+    def _jit_detect(self, img, pts, wts, counts):
+        return _detect_jit(img, pts, wts, counts, *self._detect_static)
+
+    def _jit_detect_nomask(self, img, counts):
+        return _detect_nomask_jit(img, counts, *self._detect_static)
 
     # ------------------------------------------------------------------
     # helpers
@@ -175,7 +230,7 @@ class Tracker:
                 pd[off : off + k] = q[:k]
                 v[off : off + k] = 1.0
             off += k
-        nxt, ok = lk.track_bidirectional(
+        nxt, ok = self._jit_lk(
             self.pyr_pre, self.pyr_cur, jnp.asarray(pp, jnp.float32),
             jnp.asarray(pd, jnp.float32), jnp.asarray(v, bool),
         )
@@ -227,8 +282,7 @@ class Tracker:
         self.frame_pre = self.frame_cur
         self.frame_cur = frame
         self.pyr_pre = self.pyr_cur
-        eq = pyramid.clahe(jnp.asarray(image, jnp.float32))
-        self.pyr_cur = pyramid.build_pyramid(eq, lk.PYRAMID_LEVELS)
+        self.pyr_cur = self._jit_pyr(jnp.asarray(image, jnp.float32))
         frame.pyr = self.pyr_cur  # frames own their pyramid for re-detection
 
         if self.initializing:
@@ -435,8 +489,9 @@ class Tracker:
             N = self.F_MAX
             p0, v0 = self._pad(und_new)
             p1, _ = self._pad(und_cur)
-            inl, _ = ransac.fundamental_ransac(
-                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(v0), self.reproj_std
+            inl, _ = self._jit_ransac(
+                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(v0),
+                jnp.asarray(self.reproj_std)
             )
             keep = np.asarray(inl)[: len(pts_cur)]
             pts_cur = pts_cur[keep]
@@ -520,13 +575,21 @@ class Tracker:
             t0 = np.stack([self.ref_frames[k].t for k in tri_idx])
             pc0 = self._pixel2cam(und_ref[idx])
             pc1 = self._pixel2cam(und_cur[idx])
+            # padded to the feature-slot table so the jitted kernel never
+            # recompiles on the (data-dependent) candidate count
+            m, F = len(idx), self.F_MAX
+            R0p = np.tile(np.eye(3), (F, 1, 1)); R0p[:m] = R0
+            t0p = np.zeros((F, 3)); t0p[:m] = t0
+            pcp = np.zeros((F, 3)); pcp[:, 2] = 1.0
+            pc0p = pcp.copy(); pc0p[:m] = pc0
+            pc1p = pcp.copy(); pc1p[:m] = pc1
             pw = np.asarray(
-                ransac.triangulate_batch(
-                    jnp.asarray(R0), jnp.asarray(t0),
+                self._jit_tri(
+                    jnp.asarray(R0p), jnp.asarray(t0p),
                     jnp.asarray(self.frame_cur.R), jnp.asarray(self.frame_cur.t),
-                    jnp.asarray(pc0), jnp.asarray(pc1),
+                    jnp.asarray(pc0p), jnp.asarray(pc1p),
                 )
-            )
+            )[:m]
             # batched two-view depth/reprojection gating (tracking.cc:813-829)
             good = self._good_to_track_batch(und_ref[idx], R0, t0, pw, 1.0, 3.0)
             good &= self._good_to_track_batch(
@@ -596,27 +659,17 @@ class Tracker:
             row = min(int(p[1] / bh), self.block_rows - 1)
             counts[row * self.block_cols + col] += 1
 
-        if ismask and existing:
-            mask = feat.occupancy_mask(
-                jnp.asarray(np.stack(existing)),
-                jnp.ones(len(existing)),
-                self.pyr_cur[0].shape,
-                self.min_pixel_distance,
-            )
-        else:
-            mask = jnp.ones_like(self.pyr_cur[0])
-
         if not ismask:
             # fresh start on this frame (tracking.cc:662-667)
             self.pts_ref, self.pts_new, self.ref_frames, self.vel_ref = [], [], [], []
 
         img = getattr(frame, "pyr", self.pyr_cur)[0]
-        corners, resp, valid = feat.detect_blockwise(
-            img, mask, jnp.asarray(counts),
-            block_rows=self.block_rows, block_cols=self.block_cols,
-            per_block=self.per_block, min_distance=self.min_pixel_distance,
-        )
-        corners = feat.corner_subpix(img, corners, valid)
+        if ismask and existing:
+            pts, wts = self._pad(np.stack(existing))
+            corners, valid = self._jit_detect(
+                img, jnp.asarray(pts), jnp.asarray(wts), jnp.asarray(counts))
+        else:
+            corners, valid = self._jit_detect_nomask(img, jnp.asarray(counts))
         cn = np.asarray(corners)[np.asarray(valid)]
 
         budget = self.max_features - num_features

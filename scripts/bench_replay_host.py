@@ -124,11 +124,11 @@ def main():
     model._optimize_visual = optimize
     model._marginalize_visual = marginalize
 
-    # warm the jit caches on a tiny prefix so the measured run is compile-free
+    # warm the jit caches with a FULL replay (reaches TRACKING_NORMAL,
+    # marginalization and every solver variant) so the measured run is
+    # compile-free — compiles are one-time costs a deployment amortizes
     warm = GvinsModel(cfg)
-    imu_warm = {k: np.asarray(v)[: int(8.0 * rate)] for k, v in imu_data.items()}
-    gnss_warm = {k: np.asarray(v)[:7] for k, v in gnss_data.items()}
-    warm.run(imu_warm, gnss_warm, frame_times[:25], image_provider)
+    warm.run(imu_data, gnss_data, frame_times, image_provider)
     render_s[0] = 0.0
 
     t0 = time.perf_counter()
@@ -154,6 +154,9 @@ def main():
                 frames=counts["frames"],
                 episodes=counts["episodes"],
                 margs=counts["margs"],
+                t_fe_cpu=round(t_fe, 4),
+                t_be_cpu=round(t_be, 4),
+                t_marg_cpu=round(t_marg, 4),
             )
         )
     )
