@@ -193,6 +193,15 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     ND = cfg.node_dim
     nd = cfg.N * ND
     lo = k * ND
+    if __debug__:
+        # callers must guarantee the last node slot is free — otherwise the
+        # shift silently discards prior information on it (host-side eager
+        # check; mid-interval insertions are rare so the cost is negligible)
+        tail = float(jnp.abs(prior.J0[:, nd - ND : nd]).max())
+        assert tail == 0.0, (
+            f"insert_node_slot_into_prior would drop nonzero prior columns "
+            f"on the last node slot (max |J0|={tail:g}); caller must ensure "
+            f"free capacity before inserting")
     J0 = jnp.concatenate(
         [prior.J0[:, :lo], jnp.zeros((prior.J0.shape[0], ND)),
          prior.J0[:, lo : nd - ND], prior.J0[:, nd:]], axis=1)

@@ -109,6 +109,8 @@ def load_gnss(path):
         arr = raw[:, :7].copy()
         arr[:, 1:3] = np.deg2rad(arr[:, 1:3])
     out = dict(time=arr[:, 0], blh=arr[:, 1:4], std=arr[:, 4:7])
+    out["yaw"] = np.zeros(len(arr))
+    out["isyawvalid"] = np.zeros(len(arr), bool)
     if raw is None and lib:
         try:
             raw = np.loadtxt(path)
@@ -117,11 +119,14 @@ def load_gnss(path):
         except Exception:
             raw = None
     if raw is not None and raw.shape[1] >= 9:
-        out["yaw"] = np.deg2rad(raw[:, 7])
-        out["isyawvalid"] = raw[:, 8] != 0
-    else:
-        out["yaw"] = np.zeros(len(arr))
-        out["isyawvalid"] = np.zeros(len(arr), bool)
+        # align by TIMESTAMP, not row position: the native loader may skip
+        # malformed rows, and positional indexing would then attach headings
+        # to the wrong fixes
+        j = np.searchsorted(raw[:, 0], arr[:, 0])
+        j = np.clip(j, 0, len(raw) - 1)
+        matched = np.abs(raw[j, 0] - arr[:, 0]) < 1e-6
+        out["yaw"] = np.where(matched, np.deg2rad(raw[j, 7]), 0.0)
+        out["isyawvalid"] = matched & (raw[j, 8] != 0)
     return out
 
 

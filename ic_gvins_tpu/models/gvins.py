@@ -293,12 +293,25 @@ class GvinsModel(GinsModel):
                 self.vmap.remove_keyframe(oldest_kf, remove_mappoints=True)
 
     def _merge_unused_nodes(self):
-        """removeUnusedTimeNode (ic_gvins.cc:754-789)."""
+        """removeUnusedTimeNode (ic_gvins.cc:754-789). The reference gates
+        the merge on the combined preintegration span (ic_gvins.cc:760:
+        spans beyond MAXIMUM_PREINTEGRATION_LENGTH keep the node); with
+        fixed-shape segments the binding limit is the sample capacity —
+        cascaded merges over sparse-keyframe stretches (vision blackouts,
+        low-parallax cruising) can otherwise overflow it."""
         for t in self.unused_time_nodes:
             k = self.est._node_index_of_time(t)
             # interior nodes only; times already marginalized away resolve
             # to -1/0 and are skipped
             if 1 <= k < self.est.n_nodes - 1 and self.est.segments_np[k] is not None:
+                a = self.est.segments_np[k - 1]
+                b = self.est.segments_np[k]
+                if a is None:
+                    continue
+                na = int(np.sum(a["dt"] > 0)) + 1
+                nb = int(np.sum(b["dt"] > 0)) + 1
+                if na + nb - 1 > self.cfg.preint_samples:
+                    continue
                 self.est.merge_node(k)
         self.unused_time_nodes = []
 
@@ -541,7 +554,15 @@ class GvinsModel(GinsModel):
         """updateParametersFromOptimizer (ic_gvins.cc:1299-1389)."""
         est = self.est
         if self.cfg.optimize_estimate_td and self.state == "TRACKING_NORMAL":
-            self.td_b_c = float(params.td)
+            td_new = float(params.td)
+            # sanity gate analogous to the extrinsic gates below (the
+            # reference adopts td unconditionally, ic_gvins.cc:1308): td is
+            # only weakly observable through pixel velocities, and one
+            # faulted episode (GNSS outage + track loss) can step it past
+            # the frame interval — after which the td-shifted frame
+            # timestamps corrupt every subsequent node insertion
+            if abs(td_new - self.td_b_c) <= 0.02 and abs(td_new) <= 0.08:
+                self.td_b_c = td_new
 
         if self.cfg.optimize_estimate_extrinsic and self.state == "TRACKING_NORMAL":
             ext = np.asarray(params.ext)
@@ -583,56 +604,77 @@ class GvinsModel(GinsModel):
             lm.update_depth(depth)
 
     def _visual_outlier_culling(self, slots):
-        """gvinsOutlierCulling (ic_gvins.cc:1035-1128)."""
+        """gvinsOutlierCulling (ic_gvins.cc:1035-1128).
+
+        The per-observation math (projection, depth gate, pixel error) is
+        batched into ONE vectorized pass; the decision replay below keeps
+        the reference's sequential semantics (a bad reference observation
+        kills the landmark and skips the rest)."""
+        from ..vision.map import FARTHEST_DEPTH, NEAREST_DEPTH
+
         n_lm_out, n_feat_out = 0, 0
         to_remove = []
+
+        # pass 1: gather all candidate (landmark, observation) rows
+        items = []  # (lm, [obs...])
+        Rs, ts, pws, unds = [], [], [], []
         for lm_id, slot in slots.items():
             lm = self.vmap.landmarks.get(lm_id)
             if lm is None or lm.outlier:
                 continue
+            obs_list = [
+                obs for obs in lm.observations
+                if not obs.outlier and obs.frame.is_keyframe
+                and self.vmap.is_keyframe_in_map(obs.frame)
+            ]
+            items.append((lm, obs_list))
+            for obs in obs_list:
+                Rs.append(obs.frame.R)
+                ts.append(obs.frame.t)
+                pws.append(lm.pos)
+                unds.append(obs.undis)
+        if Rs:
+            R = np.stack(Rs)
+            t = np.stack(ts)
+            pw = np.stack(pws)
+            und = np.stack(unds)
+            pc = np.einsum("nji,nj->ni", R, pw - t)
+            depth_ok = (pc[:, 2] > NEAREST_DEPTH) & (pc[:, 2] < FARTHEST_DEPTH)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = vcam.cam2pixel(self.camera, pc)
+                errs = np.linalg.norm(proj - und, axis=-1)
+            good = depth_ok & np.isfinite(errs) & (
+                errs <= self.cfg.reprojection_error_std * 3.0)
+        row = 0
+        for lm, obs_list in items:
             errors = []
             killed = False
-            for obs in lm.observations:
-                f = obs.frame
-                if obs.outlier or not f.is_keyframe or not self.vmap.is_keyframe_in_map(f):
+            for obs in obs_list:
+                err, ok = errs[row], good[row]
+                row += 1
+                if killed:
                     continue
-                err = np.linalg.norm(
-                    vcam.reprojection_error(self.camera, f.R, f.t, lm.pos, obs.undis)
-                )
-                if not self._good_obs(obs.undis, f, lm.pos):
+                if not ok:
                     obs.outlier = True
                     lm.used_times -= 1
-                    if f.id == lm.ref_frame.id:
+                    if obs.frame.id == lm.ref_frame.id:
                         lm.outlier = True
                         to_remove.append(lm)
                         n_lm_out += 1
                         killed = True
-                        break
+                        continue
                     n_feat_out += 1
                 else:
                     errors.append(err)
             if killed:
                 continue
-            if len(errors) < 2:
-                lm.outlier = True
-                to_remove.append(lm)
-                n_lm_out += 1
-            elif np.mean(errors) > self.cfg.reprojection_error_std:
+            if len(errors) < 2 or np.mean(errors) > self.cfg.reprojection_error_std:
                 lm.outlier = True
                 to_remove.append(lm)
                 n_lm_out += 1
         for lm in to_remove:
             self.vmap.remove_mappoint(lm)
         self.outlier_counts = [n_lm_out, n_feat_out]
-
-    def _good_obs(self, und_px, frame, pw, scale=3.0):
-        pc = frame.R.T @ (pw - frame.t)
-        from ..vision.map import FARTHEST_DEPTH, NEAREST_DEPTH
-
-        if not (NEAREST_DEPTH < pc[2] < FARTHEST_DEPTH):
-            return False
-        proj = vcam.world2pixel(self.camera, frame.R, frame.t, pw)
-        return np.linalg.norm(proj - und_px) <= self.cfg.reprojection_error_std * scale
 
     # ------------------------------------------------------------------
     # window maintenance

@@ -297,7 +297,15 @@ class Tracker:
             return TRACK_FIRST_FRAME
 
         if not self.pts_ref:
+            # nothing detected on the previous reference: re-reference to
+            # the LIVE frame (the reference always detects on the newest
+            # image, tracking.cc:115-133). Detecting on the stale frame_ref
+            # image could fail forever — e.g. a featureless loss frame —
+            # and permanently wedge re-initialization.
+            self._reset_tracking_state()
+            self.frame_ref = self.frame_cur
             self.features_detection(self.frame_ref, ismask=False)
+            return TRACK_FIRST_FRAME
 
         self.track_reference_frame()
 
@@ -541,6 +549,13 @@ class Tracker:
         """tracking.cc:690-798."""
         if not getattr(self, "pts_cur", None):
             return False
+        if len(self.ref_frames) != len(self.pts_cur):
+            # pts_cur is stale: reference tracking early-returned this frame
+            # (e.g. every track lost in a blackout) after _reduce emptied
+            # the per-feature lists — nothing coherent to triangulate.
+            # pts_ref/pts_new/ref_frames/vel_ref remain mutually consistent.
+            self.pts_cur = []
+            return False
 
         n = len(self.pts_cur)
         und_ref = self._undis(np.asarray(self.pts_ref))
@@ -649,15 +664,16 @@ class Tracker:
         if num_features > self.max_features - 5:
             return
 
-        # per-block existing-feature counts
+        # per-block existing-feature counts (vectorized)
         bw = self.cam.width // self.block_cols
         bh = self.cam.height // self.block_rows
         counts = np.zeros(self.block_rows * self.block_cols, np.int32)
         existing = [obs.undis for obs in frame.features.values()] + list(self.pts_new)
-        for p in existing:
-            col = min(int(p[0] / bw), self.block_cols - 1)
-            row = min(int(p[1] / bh), self.block_rows - 1)
-            counts[row * self.block_cols + col] += 1
+        if existing:
+            pe = np.asarray(existing)
+            col = np.clip((pe[:, 0] // bw).astype(np.int64), 0, self.block_cols - 1)
+            row = np.clip((pe[:, 1] // bh).astype(np.int64), 0, self.block_rows - 1)
+            np.add.at(counts, row * self.block_cols + col, 1)
 
         if not ismask:
             # fresh start on this frame (tracking.cc:662-667)

@@ -1,0 +1,115 @@
+"""Per-stage frontend timing on the live backend (TPU or CPU).
+
+Breaks bench.py's frontend frame into its device stages, each chained K
+times on device in one jit (same methodology as bench.py's _timed_loop) so
+the tunnel round trip cancels:
+
+  pyr     CLAHE + 4-level pyramid
+  lk      ONE bidirectional LK batch (fwd+bwd x 4 levels)
+  ransac  fundamental RANSAC
+  detect  occupancy mask + blockwise Shi-Tomasi + subpixel refinement
+
+Usage: python scripts/bench_frontend_stages.py [--cpu]
+Prints one JSON line {stage: ms}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+W, H = 1278, 1022
+F_MAX = 256
+BR, BC, PB = 5, 6, 7
+
+
+def timed_loop(run, make_init, k, reps=3):
+    kk = jnp.int32(k)
+    one = jnp.int32(1)
+    jax.block_until_ready(run(make_init(0), kk))
+    jax.block_until_ready(run(make_init(1), one))
+    tks, t1s = [], []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(make_init(10 + 2 * r), kk))
+        tks.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(make_init(11 + 2 * r), one))
+        t1s.append(time.perf_counter() - t0)
+    return max((min(tks) - min(t1s)) / (k - 1), 1e-9)
+
+
+def main():
+    from ic_gvins_tpu.vision import features, lk, pyramid, ransac
+
+    r = np.random.default_rng(0)
+    img0 = jnp.asarray(r.uniform(0, 255, (H, W)), jnp.float32)
+    pyr0 = [jnp.asarray(x) for x in jax.jit(
+        lambda im: pyramid.build_pyramid(pyramid.clahe(im), lk.PYRAMID_LEVELS))(img0)]
+    pts0 = jnp.asarray(r.uniform(30, 900, (F_MAX, 2)), jnp.float32)
+
+    out = {}
+
+    # ---- pyr: CLAHE + pyramid
+    def pyr_step(i, img):
+        p = pyramid.build_pyramid(pyramid.clahe(img), lk.PYRAMID_LEVELS)
+        return jnp.roll(img + p[0][0, 0] * 1e-9, (2, 3), axis=(0, 1))
+
+    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, pyr_step, c))
+    out["pyr_ms"] = timed_loop(
+        run, lambda s: img0 + np.float32(s), k=100) * 1000
+
+    # ---- lk: one bidirectional batch; pyramids alternate via roll
+    pyr1 = [jnp.roll(p, (1, 2), axis=(0, 1)) for p in pyr0]
+
+    def lk_step(i, pts):
+        nxt, ok = lk.track_bidirectional(pyr0, pyr1, pts, pts,
+                                         jnp.ones(F_MAX, bool))
+        return jnp.clip(nxt, 30.0, 900.0)
+
+    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, lk_step, c))
+    out["lk_ms"] = timed_loop(
+        run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+
+    # ---- ransac
+    def ransac_step(i, pts):
+        inl, _ = ransac.fundamental_ransac(
+            pts, pts + 2.0, jnp.ones(F_MAX, jnp.float64), 1.5)
+        return pts + inl[:, None] * 1e-6
+
+    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, ransac_step, c))
+    out["ransac_ms"] = timed_loop(
+        run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+
+    # ---- detect: occupancy mask + blockwise + subpix
+    def detect_step(i, pts):
+        mask = features.occupancy_mask(pts, jnp.ones(F_MAX, jnp.float32),
+                                       (H, W), 15)
+        corners, resp, cvalid = features.detect_blockwise(
+            pyr0[0], mask, jnp.zeros(BR * BC, jnp.int32),
+            block_rows=BR, block_cols=BC, per_block=PB, min_distance=15)
+        corners = features.corner_subpix(
+            pyr0[0], corners.astype(jnp.float32), cvalid)
+        return pts.at[: BR * BC * PB].set(
+            jnp.clip(corners.astype(jnp.float32), 30.0, 900.0))
+
+    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, detect_step, c))
+    out["detect_ms"] = timed_loop(
+        run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+
+    out = {k: round(v, 3) for k, v in out.items()}
+    out["total_ms"] = round(sum(out.values()), 3)
+    out["backend"] = jax.default_backend()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ def make_gins_dataset(
     with_odo=False,
     odo_scale_err=0.01,
     odo_noise=0.02,
+    turn_duration=18.0,
 ):
     """Timeline: 0-4 s stationary, 4-6 s accelerate (1 m/s^2 body-x),
     6-24 s gentle coordinated turn. IMU increments are generated in the body
@@ -49,7 +50,7 @@ def make_gins_dataset(
     segs = [
         (4.0, np.zeros(3), np.array([0, 0, -g]), False),
         (2.0, np.zeros(3), np.array([1.3, 0, -g]), True),
-        (18.0, np.array([0, 0, 0.05]), np.array([0.0, 0.13, -g]), True),
+        (turn_duration, np.array([0, 0, 0.05]), np.array([0.0, 0.13, -g]), True),
     ]
     w_list, f_list = [], []
     t_off = 0.0

@@ -38,7 +38,7 @@ def build_gins_problem(noise_gnss=0.0, seed=0):
     ) + rng.normal(0, noise_gnss, (n_nodes, 3))
     g = tables.gnss
     g = g._replace(
-        idx=g.idx.at[:n_nodes].set(jnp.arange(n_nodes)),
+        idx=g.idx.at[:n_nodes].set(jnp.arange(n_nodes, dtype=jnp.int32)),
         blh=g.blh.at[:n_nodes].set(jnp.asarray(gnss_pos)),
         std=g.std.at[:n_nodes].set(0.1),
         valid=g.valid.at[:n_nodes].set(1.0),
@@ -46,7 +46,7 @@ def build_gins_problem(noise_gnss=0.0, seed=0):
     p = tables.preint
     p = p._replace(
         summ=syn.stack_summaries(summs, pad_to=CFG.P),
-        idx0=p.idx0.at[: n_nodes - 1].set(jnp.arange(n_nodes - 1)),
+        idx0=p.idx0.at[: n_nodes - 1].set(jnp.arange(n_nodes - 1, dtype=jnp.int32)),
         valid=p.valid.at[: n_nodes - 1].set(1.0),
     )
     pr = tables.prior
