@@ -65,6 +65,52 @@ def _np_tree(tree):
     return jax.tree_util.tree_map(lambda a: np.array(a), tree)
 
 
+def _pack_rows(tree):
+    """Flatten a numpy pytree with a shared leading dim P into one (P, K)
+    array (row-major per leaf, leaves in tree order). np.concatenate COPIES,
+    so the result never aliases the in-place-mutated host mirrors."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    P = leaves[0].shape[0]
+    return np.concatenate(
+        [np.asarray(l, np.float64).reshape(P, -1) for l in leaves], axis=1)
+
+
+def _unpack_preint(packed, wc):
+    """(P, K+2) packed rows -> PreintTable (device-side slicing)."""
+    template = PreintTable.empty(wc)
+    leaves, treedef = jax.tree_util.tree_flatten(template.summ)
+    out, o = [], 0
+    for l in leaves:
+        k = 1
+        for d in l.shape[1:]:
+            k *= d
+        out.append(packed[:, o:o + k].reshape(l.shape))
+        o += k
+    summ = jax.tree_util.tree_unflatten(treedef, out)
+    idx0 = packed[:, o].astype(jnp.int32)
+    valid = packed[:, o + 1]
+    return PreintTable(summ=summ, idx0=idx0, valid=valid)
+
+
+@_functools.partial(jax.jit, static_argnums=(2,))
+def _tables_dev_jit(packed_preint, packed_gnss, wc, n_nodes, imuerr_idx,
+                    ext_active, td_active):
+    """Assemble the per-episode device tables from TWO packed host arrays in
+    ONE dispatch: the per-leaf jnp.asarray churn (preint tree, gnss columns,
+    node_valid, flag scalars) cost ~2 ms of pure host dispatch per episode."""
+    preint = _unpack_preint(packed_preint, wc)
+    gnss = GnssTable(
+        idx=packed_gnss[:, 0].astype(jnp.int32),
+        blh=packed_gnss[:, 1:4],
+        std=packed_gnss[:, 4:7],
+        valid=packed_gnss[:, 7],
+        robust=jnp.ones(()),
+    )
+    node_valid = (jnp.arange(wc.N) < n_nodes).astype(jnp.float64)
+    return (preint, gnss, node_valid, jnp.asarray(imuerr_idx, jnp.int32),
+            jnp.asarray(ext_active, jnp.float64), jnp.asarray(td_active, jnp.float64))
+
+
 def _np_set(tree, idx, leaf_tree):
     """In-place row write on a numpy pytree (host mirror edit)."""
     def setleaf(a, v):
@@ -128,6 +174,7 @@ class SlidingWindowEstimator:
         self._zero_params = WindowParams.zeros(wcfg)
         self.marg_prior = None  # MargPrior or None
         self.prior_cfg = None   # dict for init priors or None
+        self._antlever_dev = None  # lazy device copy (constant per estimator)
         self.ext = np.concatenate([np.zeros(3), np.array([0, 0, 0, 1.0])])
         self.td = 0.0
 
@@ -283,28 +330,34 @@ class SlidingWindowEstimator:
         wc = self.wcfg
         tables = self._empty_tables
 
-        # GNSS — assembled in numpy, one device conversion (eager per-slot
-        # .at[].set compiled a distinct scatter program per slot index)
-        g_idx = np.zeros(wc.G, np.int32)
-        g_blh = np.zeros((wc.G, 3))
-        g_std = np.ones((wc.G, 3))
-        g_val = np.zeros(wc.G)
+        # GNSS rows — assembled in numpy, converted with the packed tables
+        # below (eager per-slot .at[].set compiled a distinct scatter program
+        # per slot index; per-column asarray cost ~0.2 ms of dispatch)
+        packed_gnss = np.zeros((wc.G, 8))
+        packed_gnss[:, 4:7] = 1.0
         slot = 0
         for entry in self.gnss_entries:
             k = self._node_index_of_time(entry.time)
             if k < 0 or slot >= wc.G:
                 continue
-            g_idx[slot] = k
-            g_blh[slot] = entry.blh
-            g_std[slot] = entry.std
-            g_val[slot] = 1.0
+            packed_gnss[slot, 0] = k
+            packed_gnss[slot, 1:4] = entry.blh
+            packed_gnss[slot, 4:7] = entry.std
+            packed_gnss[slot, 7] = 1.0
             slot += 1
-        g = GnssTable(idx=jnp.asarray(g_idx), blh=jnp.asarray(g_blh),
-                      std=jnp.asarray(g_std), valid=jnp.asarray(g_val),
-                      robust=jnp.ones(()))
 
-        # priors
-        pr = tables.prior._replace(imuerr_idx=jnp.asarray(self.n_nodes - 1, jnp.int32))
+        packed = np.concatenate(
+            [_pack_rows(self.preint_table.summ),
+             np.asarray(self.preint_table.idx0, np.float64)[:, None],
+             np.asarray(self.preint_table.valid, np.float64)[:, None]], axis=1)
+        # packed single-array conversions (both copies — aliasing-safe
+        # against the in-place-mutated mirrors; see build_params' note)
+        preint, g, node_valid, imuerr_idx, ext_a, td_a = _tables_dev_jit(
+            jnp.asarray(packed), jnp.asarray(packed_gnss), wc,
+            self.n_nodes, self.n_nodes - 1,
+            1.0 if ext_active else 0.0, 1.0 if td_active else 0.0)
+
+        pr = tables.prior._replace(imuerr_idx=imuerr_idx)
         if self.prior_cfg is not None:
             pc = self.prior_cfg
             pr = pr._replace(
@@ -315,16 +368,16 @@ class SlidingWindowEstimator:
                 valid=jnp.ones(()),
             )
 
+        if self._antlever_dev is None:
+            self._antlever_dev = jnp.asarray(self.antlever)
         tables = tables._replace(
             gnss=g,
-            # jnp.array (copy): the numpy mirror is mutated in place by the
-            # window bookkeeping (see build_params' aliasing note)
-            preint=jax.tree_util.tree_map(jnp.array, self.preint_table),
+            preint=preint,
             prior=pr,
-            antlever=jnp.asarray(self.antlever),
-            node_valid=(jnp.arange(wc.N) < self.n_nodes).astype(jnp.float64),
-            ext_active=jnp.asarray(1.0 if ext_active else 0.0),
-            td_active=jnp.asarray(1.0 if td_active else 0.0),
+            antlever=self._antlever_dev,
+            node_valid=node_valid,
+            ext_active=ext_a,
+            td_active=td_a,
         )
         if self.marg_prior is not None:
             tables = tables._replace(marg=self.marg_prior)

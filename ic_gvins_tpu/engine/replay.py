@@ -31,6 +31,55 @@ def _mech_scan_jit(g, iw, st, imu, prev, iswithearth):
     )
 
 
+def _chunk_inputs(sd: ImuBatch, st: NavState, j0, n, chunk):
+    """Slice a masked `chunk`-sample window [j0, j0+n) out of the device-
+    resident stream plus the bias-compensated previous sample (j0-1)."""
+    import jax.lax as lax
+
+    sl = lambda a: lax.dynamic_slice_in_dim(a, j0, chunk, axis=0)
+    mask = jnp.arange(chunk) < n
+    imu = ImuBatch(
+        time=sl(sd.time),
+        dt=jnp.where(mask, sl(sd.dt), 0.0),
+        dtheta=jnp.where(mask[:, None], sl(sd.dtheta), 0.0),
+        dvel=jnp.where(mask[:, None], sl(sd.dvel), 0.0),
+        odovel=jnp.where(mask, sl(sd.odovel), 0.0),
+    )
+    jp = jnp.maximum(j0 - 1, 0)
+    first = j0 <= 0
+    pdt = jnp.where(first, 0.0, sd.dt[jp])
+    pth = jnp.where(first, 0.0, sd.dtheta[jp] - pdt * st.bg)
+    pdv = jnp.where(first, 0.0, sd.dvel[jp] - pdt * st.ba)
+    return imu, (pdt, pth, pdv)
+
+
+@_functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _prop_chunk_jit(sd, st, j0, n, g, iw, iswithearth, chunk, want_traj):
+    """One mechanization chunk over the device-resident stream: all slicing,
+    masking and prev-sample bias compensation happen inside the jit (the
+    eager per-chunk np.concatenate/jnp.asarray churn cost ~0.5 ms/chunk of
+    pure host dispatch)."""
+    imu, prev = _chunk_inputs(sd, st, j0, n, chunk)
+    out, traj = mech.mechanize_scan(
+        mech.MechConfig(gravity=g, iewn=iw, iswithearth=iswithearth),
+        st, imu, imu_prev=prev,
+    )
+    return (out, traj) if want_traj else out
+
+
+@_functools.partial(jax.jit, static_argnums=(6,))
+def _peek_interp_jit(sd, st, j, t, g, iw, iswithearth):
+    """Fused single-sample peek + pose interpolation (statePoseInterpolation,
+    misc.cc:67-100): one device call per frame instead of a 1-sample scan
+    dispatch plus ~15 eager quaternion primitives on the host."""
+    imu, prev = _chunk_inputs(sd, st, j, jnp.int32(1), 1)
+    st1, _ = mech.mechanize_scan(
+        mech.MechConfig(gravity=g, iewn=iw, iswithearth=iswithearth),
+        st, imu, imu_prev=prev,
+    )
+    return mech.interpolate_pose(st.p, st.q, st.time, st1.p, st1.q, st1.time, t)
+
+
 class ImuStream:
     """Host-side random access into the replayed IMU stream.
 
@@ -131,13 +180,21 @@ class InsPropagator:
     def __init__(self, stream: ImuStream, gravity, iewn, iswithearth, chunk=256):
         self.stream = stream
         self.chunk = chunk
+        self.iswithearth = iswithearth
         self.gravity = jnp.asarray(gravity)
         self.iewn = jnp.asarray(iewn)
-        # module-level jit (shared compile cache across propagator
-        # instances); iswithearth is a static argument
-        self._jit_scan = lambda g, iw, st, imu, prev: _mech_scan_jit(
-            g, iw, st, imu, prev, iswithearth)
-        self.state = None     # NavState
+        # the WHOLE stream lives on device (one upload per episode); chunks
+        # are sliced out inside the jits — see _prop_chunk_jit
+        pad = chunk + 1
+        self._dev = ImuBatch(
+            time=jnp.asarray(np.concatenate([stream.time, np.zeros(pad)])),
+            dt=jnp.asarray(np.concatenate([stream.dt, np.zeros(pad)])),
+            dtheta=jnp.asarray(np.concatenate([stream.dtheta, np.zeros((pad, 3))])),
+            dvel=jnp.asarray(np.concatenate([stream.dvel, np.zeros((pad, 3))])),
+            odovel=jnp.asarray(np.concatenate([stream.odovel, np.zeros(pad)])),
+        )
+        self.state = None     # NavState (device-resident between episodes)
+        self._time_host = 0.0  # host mirror of state.time (no device syncs)
         self.cursor = 0       # next sample index to process
 
     def set_state(self, state: NavState, restart_time=None):
@@ -145,6 +202,7 @@ class InsPropagator:
         time (redoInsMechanization semantics, misc.cc:208-261)."""
         self.state = state
         t = float(state.time) if restart_time is None else restart_time
+        self._time_host = t
         self.cursor = self.stream.index_after(t + MINIMUM_TIME_INTERVAL)
 
     def update_iewn(self, iewn):
@@ -156,64 +214,31 @@ class InsPropagator:
         last processed sample (node-exact states come from preintegration)."""
         end_idx = self.stream.index_after(t_end + MINIMUM_TIME_INTERVAL)
         s = self.stream
+        want_traj = sample_cb is not None
         while self.cursor < end_idx:
             j0 = self.cursor
             j1 = min(j0 + self.chunk, end_idx)
             n = j1 - j0
-            pad = self.chunk - n
-            imu = ImuBatch(
-                time=jnp.asarray(np.concatenate([s.time[j0:j1], np.zeros(pad)])),
-                dt=jnp.asarray(np.concatenate([s.dt[j0:j1], np.zeros(pad)])),
-                dtheta=jnp.asarray(np.concatenate([s.dtheta[j0:j1], np.zeros((pad, 3))])),
-                dvel=jnp.asarray(np.concatenate([s.dvel[j0:j1], np.zeros((pad, 3))])),
-                odovel=jnp.asarray(np.concatenate([s.odovel[j0:j1], np.zeros(pad)])),
-            )
-            # anchor: previous stream sample (split-correct at boundaries is
-            # unnecessary for the dual-sample cross terms' 1/12 magnitude)
-            if j0 > 0:
-                bg, ba = self.state.bg, self.state.ba
-                prev = (
-                    jnp.asarray(s.dt[j0 - 1]),
-                    jnp.asarray(s.dtheta[j0 - 1]) - s.dt[j0 - 1] * bg,
-                    jnp.asarray(s.dvel[j0 - 1]) - s.dt[j0 - 1] * ba,
-                )
+            out = _prop_chunk_jit(self._dev, self.state, j0, n, self.gravity,
+                                  self.iewn, self.iswithearth, self.chunk,
+                                  want_traj)
+            if want_traj:
+                self.state, (p, q, v) = out
+                sample_cb(s.time[j0:j1], np.asarray(p)[:n], np.asarray(q)[:n],
+                          np.asarray(v)[:n])
             else:
-                prev = (jnp.zeros(()), jnp.zeros(3), jnp.zeros(3))
-            self.state, traj = self._jit_scan(self.gravity, self.iewn, self.state, imu, prev)
-            if sample_cb is not None:
-                p, q, v = traj
-                sample_cb(s.time[j0:j1], np.asarray(p)[:n], np.asarray(q)[:n], np.asarray(v)[:n])
+                self.state = out
+            self._time_host = s.time[j1 - 1]
             self.cursor = j1
 
     def pose_interpolated(self, t):
         """Interpolated (p, q) at time t (MISC::getCameraPoseFromInsWindow /
         statePoseInterpolation, misc.cc:67-100): propagate through samples
-        <= t, take one peek step to the next sample, interpolate. Does not
-        advance the cursor past t."""
-        import numpy as np
-
+        <= t, then ONE fused peek+interpolate device call. Does not advance
+        the cursor past t."""
         self.propagate_to(t)
-        st0 = self.state
-        s = self.stream
-        if self.cursor >= s.T or abs(float(st0.time) - t) < MINIMUM_TIME_INTERVAL:
-            return np.array(st0.p), np.array(st0.q)
-        j = self.cursor
-        imu = ImuBatch(
-            time=jnp.asarray(s.time[j : j + 1]),
-            dt=jnp.asarray(s.dt[j : j + 1]),
-            dtheta=jnp.asarray(s.dtheta[j : j + 1]),
-            dvel=jnp.asarray(s.dvel[j : j + 1]),
-            odovel=jnp.asarray(s.odovel[j : j + 1]),
-        )
-        bg, ba = st0.bg, st0.ba
-        prev = (
-            jnp.asarray(s.dt[j - 1]) if j > 0 else jnp.zeros(()),
-            (jnp.asarray(s.dtheta[j - 1]) - s.dt[j - 1] * bg) if j > 0 else jnp.zeros(3),
-            (jnp.asarray(s.dvel[j - 1]) - s.dt[j - 1] * ba) if j > 0 else jnp.zeros(3),
-        )
-        st1, _ = self._jit_scan(self.gravity, self.iewn, st0, imu, prev)
-
-        from ..ins.mechanization import interpolate_pose
-
-        p, q = interpolate_pose(st0.p, st0.q, float(st0.time), st1.p, st1.q, float(st1.time), t)
+        if self.cursor >= self.stream.T or abs(self._time_host - t) < MINIMUM_TIME_INTERVAL:
+            return np.array(self.state.p), np.array(self.state.q)
+        p, q = _peek_interp_jit(self._dev, self.state, self.cursor, t,
+                                self.gravity, self.iewn, self.iswithearth)
         return np.array(p), np.array(q)

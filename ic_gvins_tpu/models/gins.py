@@ -122,7 +122,7 @@ class GinsModel:
         # reference's fusion thread mechanizes through outages,
         # ic_gvins.cc:281-293 + writeNavResult)
         if self.prop is not None:
-            self.prop.propagate_to(float(stream.time[-1]), sample_cb=self._write_samples)
+            self.prop.propagate_to(float(stream.time[-1]), sample_cb=self._write_samples if self.out else None)
         if self.out:
             self.out.close()
         return np.asarray(self.trajectory) if self.trajectory else np.zeros((0, 8))
@@ -263,7 +263,7 @@ class GinsModel:
     def _process_gnss(self, stream, gnss):
         """INITIALIZING_INS loop body (ic_gvins.cc:313-330, 395-425)."""
         # propagate + write per-sample nav output up to the node time
-        self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples)
+        self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples if self.out else None)
 
         self._add_gnss_node(stream, gnss)
         self.est.optimize(num_iterations=50)

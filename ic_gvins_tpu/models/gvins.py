@@ -156,7 +156,7 @@ class GvinsModel(GinsModel):
                 self._process_frame(stream, t, image_provider(k))
 
         if self.prop is not None:
-            self.prop.propagate_to(float(stream.time[-1]), sample_cb=self._write_samples)
+            self.prop.propagate_to(float(stream.time[-1]), sample_cb=self._write_samples if self.out else None)
         if self.drawer is not None:
             self.drawer.finalize(self.trajectory)
         if self.out:
@@ -170,7 +170,7 @@ class GvinsModel(GinsModel):
     def _process_gnss_ins(self, stream, gnss):
         """INITIALIZING_INS: GNSS/INS integration (ic_gvins.cc:313-330,
         411-425); switch to the visual stage after initlength preints."""
-        self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples)
+        self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples if self.out else None)
         self._add_gnss_node(stream, gnss)
         self.est.optimize(num_iterations=50)
         self.est.reintegrate_if_needed()
@@ -198,7 +198,7 @@ class GvinsModel(GinsModel):
 
         # mechanize + per-sample nav output up to the frame (the reference's
         # fusion thread writes nav results at IMU rate, misc.cc:417-499)
-        self.prop.propagate_to(t_frame, sample_cb=self._write_samples)
+        self.prop.propagate_to(t_frame, sample_cb=self._write_samples if self.out else None)
 
         # INS prior pose -> camera pose (runTracking, ic_gvins.cc:525-533)
         p, q = self.prop.pose_interpolated(t_frame)

@@ -134,7 +134,8 @@ def main():
     est_mod._surgery_jit = timed(est_mod._surgery_jit, "solve")
     est_mod._marg_jit = timed(est_mod._marg_jit, "marg")
     est_mod._preint_jit = timed(est_mod._preint_jit, "preint")
-    replay_mod._mech_scan_jit = timed(replay_mod._mech_scan_jit, "mech")
+    replay_mod._prop_chunk_jit = timed(replay_mod._prop_chunk_jit, "mech")
+    replay_mod._peek_interp_jit = timed(replay_mod._peek_interp_jit, "mech")
     for name in ("_pyr_jit", "_lk_jit", "_ransac_jit", "_tri_jit",
                  "_detect_jit", "_detect_nomask_jit"):
         setattr(trk_mod, name, timed(getattr(trk_mod, name), "frontend"))
