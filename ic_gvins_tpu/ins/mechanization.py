@@ -78,15 +78,12 @@ def mechanize_step(config: MechConfig, p, q, v, imu_pre: tuple, imu_cur: tuple):
     return p_new, q_new, v_new
 
 
-def mechanize_scan(config: MechConfig, state: NavState, imu: ImuBatch, imu_prev=None):
-    """Propagate a NavState through a padded IMU batch in one fused scan.
+def mechanize_scan_seq(config: MechConfig, state: NavState, imu: ImuBatch, imu_prev=None):
+    """Sequential lax.scan reference implementation (one step per sample).
 
-    imu: (S,) batch; imu_prev: the sample immediately before imu[0] (for the
-    dual-sample cross terms); defaults to zeros (pure single-sample start).
-
-    Returns (final NavState, per-sample (p, q, v) arrays of shape (S, ...)).
-    Padded samples (dt == 0) are exact no-ops and replicate the running state.
-    """
+    Kept as the semantics oracle for :func:`mechanize_scan`'s log-depth
+    formulation (tests assert equality); also the cheaper choice for very
+    short windows."""
     if imu_prev is None:
         prev0 = (jnp.zeros(()), jnp.zeros(3), jnp.zeros(3))
     else:
@@ -110,6 +107,67 @@ def mechanize_scan(config: MechConfig, state: NavState, imu: ImuBatch, imu_prev=
     final_time = jnp.max(jnp.where(imu.dt > 0, imu.time, state.time))
     out = state._replace(time=final_time, p=p, q=q, v=v)
     return out, traj
+
+
+def mechanize_scan(config: MechConfig, state: NavState, imu: ImuBatch, imu_prev=None):
+    """Propagate a NavState through a padded IMU batch.
+
+    imu: (S,) batch; imu_prev: the sample immediately before imu[0] (for the
+    dual-sample cross terms); defaults to zeros (pure single-sample start).
+
+    Returns (final NavState, per-sample (p, q, v) arrays of shape (S, ...)).
+    Padded samples (dt == 0) are exact no-ops and replicate the running state.
+
+    TPU-native design (ins/parallel_scan.py): the per-sample recurrence of
+    MISC::insMechanization (misc.cc:151-206) is reformulated as log-depth
+    prefix scans — quaternion prefix products for attitude, an affine
+    (coriolis) prefix for velocity, cumsums for position — instead of an
+    S-step serial chain. Identical math; differs from
+    :func:`mechanize_scan_seq` only by floating-point reassociation."""
+    from . import parallel_scan as pscan
+
+    if imu_prev is None:
+        prev0 = (jnp.zeros(()), jnp.zeros(3), jnp.zeros(3))
+    else:
+        prev0 = imu_prev
+
+    dt = imu.dt                                   # (S,)
+    dth = imu.dtheta - dt[:, None] * state.bg     # compensated increments
+    dvl = imu.dvel - dt[:, None] * state.ba
+    dth_pre = pscan.shift_prev(dth, jnp.asarray(prev0[1]))
+    dvl_pre = pscan.shift_prev(dvl, jnp.asarray(prev0[2]))
+    dvfb, dtheta = pscan.dual_sample(dth, dvl, dth_pre, dvl_pre)
+    dqs = quat.from_rotvec(dtheta)                # (S,4)
+
+    if config.iswithearth:
+        qnn = quat.from_rotvec(-config.iewn * dt[:, None])
+        L, R = pscan.quat_sandwich_prefix(qnn, dqs)
+        q_all = quat.normalize(quat.mul(quat.mul(L, state.q), R))
+        q_prev = pscan.shift_prev(q_all, state.q)
+        # v_k = (I - 2 dt [iewn]x) v_{k-1} + c_k  (coriolis affine map)
+        Rnn = quat.to_matrix(qnn)                 # (S,3,3)
+        rot = quat.rotate(q_prev, dvfb)
+        c = (
+            0.5 * (rot + jnp.einsum("sij,sj->si", Rnn, rot))
+            + config.gravity * dt[:, None]
+        )
+        A = jnp.eye(3) - 2.0 * dt[:, None, None] * quat.skew(config.iewn)
+        P, cpf = pscan.affine_prefix(A, c)
+        v_all = jnp.einsum("sij,j->si", P, state.v) + cpf
+    else:
+        pre = pscan.quat_prefix(dqs)
+        q_all = quat.normalize(quat.mul(state.q, pre))
+        q_prev = pscan.shift_prev(q_all, state.q)
+        dvel = quat.rotate(q_prev, dvfb) + config.gravity * dt[:, None]
+        v_all = state.v + jnp.cumsum(dvel, axis=0)
+
+    v_prev = pscan.shift_prev(v_all, state.v)
+    # p_new = p + dt v + 0.5 dt (v_new - v) = p + 0.5 dt (v + v_new)
+    p_all = state.p + jnp.cumsum(0.5 * dt[:, None] * (v_prev + v_all), axis=0)
+
+    final_time = jnp.max(jnp.where(dt > 0, imu.time, state.time))
+    out = state._replace(time=final_time, p=p_all[-1], q=q_all[-1], v=v_all[-1])
+    return out, (p_all, q_all, v_all)
 
 
 def interpolate_pose(p0, q0, t0, p1, q1, t1, t):
