@@ -1,52 +1,141 @@
 """Benchmark: urban38-scale replay throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS,
+inside a hard deadline, no matter what the TPU tunnel or the stages do.
 
-Measures the two dominating per-frame costs at KAIST urban38 scale
-(1278x1022 imagery, 10 Hz camera, ~200 features in 256-slot tables, 20-node window with 512
-landmarks / 2048 reprojection factors, 20 LM iterations split 5+15):
+Architecture (survivability first — round 2's run was killed at the driver
+budget before printing anything):
 
-  frontend step: CLAHE + 4-level pyramid + ONE fused bidirectional
-                 pyramidal LK batch (landmark + reference tracks share the
-                 256-slot table, as in vision/tracking.py), fundamental
-                 RANSAC, occupancy mask + blockwise Shi-Tomasi detection +
-                 subpixel corner refinement
-  backend step:  full two-pass sliding-window solve with chi2 surgery
+  parent process (this file, no jax import): computes a global deadline
+      (env BENCH_DEADLINE_S, default 840 s), spawns the child, streams
+      `STAGE {...}` result lines as they complete, kills the child at the
+      deadline, merges fresh results over the committed PERF.json stale
+      values, and prints the single JSON line. rc is 0 even if every stage
+      died — skipped/failed terms fall back to the last recorded value and
+      are listed under detail.stale.
+  child process (`bench.py --child`): probes the device in a sub-subprocess
+      (the tunnel can hang jax.devices() forever), enables the persistent
+      XLA compile cache (.jax_cache/ — driver re-runs skip the ~2 min/stage
+      tunnel compiles), runs the host-replay stage (cached in PERF.json
+      keyed by a source-tree hash; refreshed only when the tree changed),
+      then the five device stages in descending fps-impact order, emitting
+      each as soon as it finishes. Device stages only run when the probe
+      says the real TPU is reachable — a CPU fallback would chain full-res
+      frames for minutes and says nothing about the chip.
 
-Methodology: the tunneled TPU used in this environment has a large and
-noisy per-dispatch round-trip latency AND caches repeated identical
-dispatches, so per-call host timing measures the tunnel, not the chip.
-Instead each step is chained K times ON DEVICE inside one jitted
-lax.fori_loop (consecutive frames differ by a synthetic 2-3 px shift, the
-typical inter-frame motion residual after the INS prediction; the feature
-table is fed from the previous frame's tracks so nothing hoists), and the
-per-frame time is (t(K) - t(1)) / (K - 1) over fresh inputs — one tunnel
-round trip cancels and caching never triggers. This is the number a
-co-located production deployment sees.
+Measured terms at KAIST urban38 scale (1278x1022 imagery, 10 Hz camera,
+~200 features in 256-slot tables, 20-node window with 512 landmarks / 2048
+reprojection factors, 20 LM iterations split 5+15, iswithearth=true as the
+reference ships it — /root/reference/config/gvins.yaml:18):
 
-frames/sec = 1 / (t_frontend + kf * t_backend + mr * t_marg + host):
-every term measured — chip-chained kernels for frontend/backend/
-marginalization, and the host term + keyframe/marg ratios from a REAL
-end-to-end GvinsModel.run replay (scripts/bench_replay_host.py, CPU
-subprocess at production table sizing; host bookkeeping cost is backend-
-independent). The keyframe/marg ratios are floored at 0.5 (the reference
-optimizes roughly every other frame on urban38) so a gentle synthetic
-world cannot flatter the number.
+  frontend: CLAHE + 4-level pyramid + ONE fused bidirectional pyramidal LK
+            batch + fundamental RANSAC + occupancy mask + blockwise
+            Shi-Tomasi detection + subpixel refinement
+  backend:  full two-pass sliding-window solve with chi2 surgery
+  marg:     select + Schur + shift of the marginalization prior
+  preint:   512-sample fused preintegration scan
+  mech:     256-sample mechanization chunk
 
-vs_baseline = frames_per_sec / 100: the north star is >=10x real-time on the
-10 Hz urban38 stream (BASELINE.md), i.e. 100 frames/sec. >1.0 beats target.
+Methodology: the tunneled TPU has large noisy per-dispatch round-trip
+latency AND caches repeated identical dispatches, so per-call host timing
+measures the tunnel, not the chip. Each stage is chained K times ON DEVICE
+inside one jitted lax.fori_loop with fresh inputs per call, and the
+per-frame time is (t(K) - t(1)) / (K - 1) — one tunnel round trip cancels
+and caching never triggers. This is the number a co-located production
+deployment sees.
+
+frames/sec = 1 / (t_frontend + kf * t_backend + mr * t_marg
+                  + preint_pf * t_preint + mech_pf * t_mech + host):
+host cost and the keyframe/marg ratios come from a REAL end-to-end
+GvinsModel.run replay (scripts/bench_replay_host.py, CPU subprocess at
+production table sizing; host bookkeeping cost is backend-independent).
+Ratios are floored at 0.5 (the reference optimizes roughly every other
+frame on urban38) so a gentle synthetic world cannot flatter the number.
+
+vs_baseline = frames_per_sec / 100: the north star is >=10x real-time on
+the 10 Hz urban38 stream (BASELINE.md), i.e. 100 frames/sec.
 """
 
+import hashlib
 import json
+import os
+import subprocess
+import sys
+import threading
 import time
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_PERF_PATH = os.path.join(_HERE, "PERF.json")
+_CACHE_DIR = os.path.join(_HERE, ".jax_cache")
+_CHILD_LOG = os.path.join(_HERE, ".bench_child.log")
 
-import jax
+# fps-impact order; est = conservative first-run seconds over the tunnel
+# (compile + timed loops) used by the child to skip stages it cannot finish
+_DEVICE_STAGES = (
+    ("frontend", 300),
+    ("backend", 300),
+    ("marg", 180),
+    ("preint", 120),
+    ("mech", 90),
+)
 
-jax.config.update("jax_enable_x64", True)
+# absolute last resort when a term exists neither fresh nor in PERF.json:
+# round-1/2 measurements (BENCH_r01.json + committed round-2 kernel wins)
+_FALLBACK = {
+    "frontend": 0.0194,
+    "backend": 0.0222,
+    "marg": 0.008,
+    "preint": 0.003,
+    "mech": 0.003,
+    "host": {"host_s": 0.0116, "kf_ratio": 0.5, "marg_ratio": 0.5,
+             "device_calls_per_frame": {}},
+}
 
-W, H = 1278, 1022
-F_MAX = 256  # track_max_features=200 rounded to the slot table size
+
+def _load_perf():
+    try:
+        with open(_PERF_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_perf(perf):
+    try:
+        with open(_PERF_PATH, "w") as f:
+            json.dump(perf, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception:
+        pass
+
+
+def _tree_hash():
+    """Cache key for the host-replay stage: hash of every source the replay
+    loop executes. The host cost only changes when the code does."""
+    files = []
+    for sub in ("ic_gvins_tpu",):
+        for root, _dirs, names in os.walk(os.path.join(_HERE, sub)):
+            files += [os.path.join(root, n) for n in names if n.endswith(".py")]
+    files += [
+        os.path.join(_HERE, "scripts", "bench_replay_host.py"),
+        os.path.join(_HERE, "tests", "gins_data.py"),
+        os.path.join(_HERE, "tests", "synthetic.py"),
+        os.path.join(_HERE, "tests", "test_gvins_e2e.py"),
+    ]
+    h = hashlib.sha256()
+    for f in sorted(files):
+        try:
+            with open(f, "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# child: the actual measurements
+# ---------------------------------------------------------------------------
 
 
 def _timed_loop(run, make_init, k, reps=3):
@@ -56,6 +145,7 @@ def _timed_loop(run, make_init, k, reps=3):
     dwarfs the tunnel's ~20-200 ms round-trip jitter, and min-of-reps is
     taken SEPARATELY for t(k) and t(1) (subtracting a same-rep pair keeps
     the jitter; independent minima approach the noise floor)."""
+    import jax
     import jax.numpy as jnp
 
     kk = jnp.int32(k)
@@ -74,11 +164,14 @@ def _timed_loop(run, make_init, k, reps=3):
 
 
 def bench_frontend():
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ic_gvins_tpu.vision import features, lk, pyramid, ransac
 
+    W, H = 1278, 1022
+    F_MAX = 256  # track_max_features=200 rounded to the slot table size
     block_rows, block_cols, per_block = 5, 6, 7  # 200-px blocks for 1278x1022
 
     def frame(carry):
@@ -119,6 +212,7 @@ def bench_frontend():
 
 
 def bench_backend():
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -126,7 +220,9 @@ def bench_backend():
     from ic_gvins_tpu.solver import lm
     from ic_gvins_tpu.solver.problem import WindowConfig
 
-    cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=False)
+    # iswithearth=true is the reference's shipped configuration
+    # (/root/reference/config/gvins.yaml:18) — measure that variant
+    cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=True)
     params0, tables = ge._make_problem(cfg)
 
     @jax.jit
@@ -151,13 +247,14 @@ def bench_backend():
 def bench_marg():
     """Chained marginalization (select + Schur + shift) at production sizing:
     the D=819 double-eigh pipeline the replay runs once per window slide."""
+    import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
     from ic_gvins_tpu.factors import marginalization as marg
     from ic_gvins_tpu.solver.problem import WindowConfig
 
-    cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=False)
+    cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=True)
     params0, tables0 = ge._make_problem(cfg)
 
     def marg_once(i, t):
@@ -183,6 +280,7 @@ def bench_marg():
 def bench_preint():
     """Chained IMU preintegration (512-sample fused scan, the per-keyframe
     cost of addNewTimeNode)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -200,7 +298,7 @@ def bench_preint():
             dvel=jnp.full((S, 3), 0.005 * 9.8 / 3),
             odovel=jnp.zeros(S),
         )
-        summ = pre.preintegrate(params, imu, st, with_earth=False)
+        summ = pre.preintegrate(params, imu, st, with_earth=True)
         return st._replace(p=summ.end_p, q=summ.end_q, v=summ.end_v)
 
     @jax.jit
@@ -208,8 +306,6 @@ def bench_preint():
         return jax.lax.fori_loop(0, n, step, st)
 
     def make_init(seed):
-        import numpy as np
-
         r = np.random.default_rng(seed)
         return NavState.identity()._replace(p=jnp.asarray(r.normal(0, 1, 3)))
 
@@ -219,6 +315,7 @@ def bench_preint():
 def bench_mech():
     """Chained INS mechanization (256-sample chunk, the per-frame
     propagate_to cost)."""
+    import jax
     import jax.numpy as jnp
 
     from ic_gvins_tpu.core.types import ImuBatch, NavState
@@ -226,7 +323,7 @@ def bench_mech():
 
     S = 256
     cfg = mech.MechConfig(gravity=jnp.array([0.0, 0, 9.8]), iewn=jnp.zeros(3),
-                          iswithearth=False)
+                          iswithearth=True)
 
     def step(i, st):
         imu = ImuBatch(
@@ -252,29 +349,31 @@ def bench_mech():
     return _timed_loop(run, make_init, k=100)
 
 
-def _replay_host_stats():
+_BENCH_FNS = {
+    "frontend": bench_frontend,
+    "backend": bench_backend,
+    "marg": bench_marg,
+    "preint": bench_preint,
+    "mech": bench_mech,
+}
+
+
+def _replay_host_stats(timeout):
     """Run scripts/bench_replay_host.py (CPU subprocess): measured host-side
     cost per frame of the REAL model.run loop plus the run's own keyframe /
     marginalization ratios. See that file's docstring for the methodology."""
-    import os
-    import subprocess
-    import sys
-
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "bench_replay_host.py")
+    script = os.path.join(_HERE, "scripts", "bench_replay_host.py")
     out = subprocess.run([sys.executable, script], capture_output=True,
-                         text=True, timeout=1800)
+                         text=True, timeout=timeout)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
-def _probe_device(timeout_s=180):
+def _probe_device(timeout_s=150):
     """The tunneled TPU backend can be unreachable (jax.devices() then hangs
     forever, holding the backend-init lock). Probe from a SUBPROCESS; on
-    timeout pin this process to CPU before it ever touches a device, so the
-    bench still reports an honest (clearly labeled) number."""
-    import subprocess
-    import sys
+    timeout pin this process to CPU before it ever touches a device."""
+    import jax
 
     code = ("import jax, jax.numpy as jnp;"
             "jax.block_until_ready(jnp.zeros(8) + 1.0);"
@@ -291,48 +390,190 @@ def _probe_device(timeout_s=180):
     return None
 
 
-def main():
+def child_main():
+    deadline = float(os.environ.get("BENCH_CHILD_DEADLINE", time.time() + 820))
+
+    def emit(name, entry):
+        print("STAGE " + json.dumps({"name": name, **entry}), flush=True)
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: driver re-runs skip the ~2 min/stage tunnel
+    # compiles (VERDICT round 2 root cause of the rc=124 kill)
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     platform = _probe_device()
-    host = _replay_host_stats()
-    t_backend = bench_backend()
-    t_marg = bench_marg()
-    t_preint = bench_preint()
-    t_mech = bench_mech()
-    t_frontend = bench_frontend()
+    emit("probe", {"backend": platform or "unreachable"})
+
+    # ---- host stage: cached in PERF.json keyed by the source-tree hash ----
+    key = _tree_hash()
+    perf = _load_perf()
+    hostent = (perf.get("stages") or {}).get("host")
+    if hostent and hostent.get("key") == key:
+        emit("host", dict(hostent, cached=True))
+    else:
+        budget = min(1500.0, deadline - time.time() - 240.0)
+        if budget > 240.0:
+            try:
+                host = _replay_host_stats(timeout=budget)
+                emit("host", dict(host, key=key))
+            except Exception as e:  # timeout / crash -> stale fallback
+                emit("host_error", {"error": repr(e)[:200]})
+        else:
+            emit("host_skipped", {"reason": "deadline", "budget_s": budget})
+
+    # ---- device stages: only on the real chip (a CPU chain of full-res
+    # frames is unbounded and measures nothing about the TPU) ----
+    if platform != "tpu":
+        emit("device_skipped", {"reason": f"platform={platform}"})
+        return
+    for name, est in _DEVICE_STAGES:
+        if time.time() + est > deadline:
+            emit(name + "_skipped", {"reason": "deadline"})
+            continue
+        try:
+            t0 = time.time()
+            v = _BENCH_FNS[name]()
+            emit(name, {"value_s": v, "backend": platform,
+                        "wall_s": round(time.time() - t0, 1)})
+        except Exception as e:
+            emit(name + "_error", {"error": repr(e)[:200]})
+
+
+# ---------------------------------------------------------------------------
+# parent: deadline enforcement + merge + the one JSON line
+# ---------------------------------------------------------------------------
+
+
+def _merge_and_print(results, perf):
+    stages_old = perf.get("stages") or {}
+    stale = []
+    vals = {}
+    for name in ("frontend", "backend", "marg", "preint", "mech"):
+        if name in results and "value_s" in results[name]:
+            vals[name] = float(results[name]["value_s"])
+        elif name in stages_old and "value_s" in stages_old[name]:
+            vals[name] = float(stages_old[name]["value_s"])
+            stale.append(name)
+        else:
+            vals[name] = float(_FALLBACK[name])
+            stale.append(name + "(default)")
+    if "host" in results and "host_s" in results["host"]:
+        host = results["host"]
+        if host.get("cached"):
+            pass  # cached == still valid for this tree, not stale
+    elif "host" in stages_old and "host_s" in stages_old["host"]:
+        host = stages_old["host"]
+        stale.append("host")
+    else:
+        host = _FALLBACK["host"]
+        stale.append("host(default)")
+
     # measured ratios from the real replay, floored at the reference's
     # urban38 behavior (optimization + marginalization roughly every other
     # frame) so a gentle synthetic world cannot flatter the number
-    cpf = host["device_calls_per_frame"]
-    kf_ratio = max(host["kf_ratio"], 0.5)
-    marg_ratio = max(host["marg_ratio"], 0.5)
-    preint_pf = max(cpf.get("preint", 0.0), kf_ratio)
-    mech_pf = max(cpf.get("mech", 0.0), 1.0)
-    frame_time = (t_frontend + kf_ratio * t_backend + marg_ratio * t_marg
-                  + preint_pf * t_preint + mech_pf * t_mech + host["host_s"])
+    cpf = host.get("device_calls_per_frame", {})
+    kf_ratio = max(float(host.get("kf_ratio", 0.5)), 0.5)
+    marg_ratio = max(float(host.get("marg_ratio", 0.5)), 0.5)
+    preint_pf = max(float(cpf.get("preint", 0.0)), kf_ratio)
+    mech_pf = max(float(cpf.get("mech", 0.0)), 1.0)
+    frame_time = (vals["frontend"] + kf_ratio * vals["backend"]
+                  + marg_ratio * vals["marg"] + preint_pf * vals["preint"]
+                  + mech_pf * vals["mech"] + float(host["host_s"]))
     fps = 1.0 / frame_time
-    print(
-        json.dumps(
-            {
-                "metric": "urban38-scale replay frames/sec (frontend + kf*two-pass BA + marg + preint + mech + measured host cost) per chip",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 100.0, 4),
-                "detail": {
-                    "backend": platform or "cpu (TPU tunnel unreachable at bench time)",
-                    "frontend_ms": round(t_frontend * 1000, 3),
-                    "backend_ms": round(t_backend * 1000, 3),
-                    "marg_ms": round(t_marg * 1000, 3),
-                    "preint_ms": round(t_preint * 1000, 3),
-                    "mech_ms": round(t_mech * 1000, 3),
-                    "host_ms": round(host["host_s"] * 1000, 3),
-                    "kf_ratio": kf_ratio,
-                    "marg_ratio": marg_ratio,
-                    "replay_cpu_e2e": host,
-                },
-            }
-        )
-    )
+
+    backend = (results.get("probe") or {}).get("backend", "unknown")
+    detail = {
+        "backend": backend,
+        "frontend_ms": round(vals["frontend"] * 1000, 3),
+        "backend_ms": round(vals["backend"] * 1000, 3),
+        "marg_ms": round(vals["marg"] * 1000, 3),
+        "preint_ms": round(vals["preint"] * 1000, 3),
+        "mech_ms": round(vals["mech"] * 1000, 3),
+        "host_ms": round(float(host["host_s"]) * 1000, 3),
+        "kf_ratio": kf_ratio,
+        "marg_ratio": marg_ratio,
+        "stale": stale,
+        "replay_cpu_e2e": {k: host[k] for k in
+                           ("host_s", "kf_ratio", "marg_ratio", "fps_cpu_e2e",
+                            "frames", "episodes", "margs")
+                           if k in host},
+    }
+    print(json.dumps({
+        "metric": ("urban38-scale replay frames/sec (frontend + kf*two-pass "
+                   "BA + marg + preint + mech + measured host cost) per chip"),
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 100.0, 4),
+        "detail": detail,
+    }))
+
+    # persist fresh stage results for the next run's stale fallback
+    stages_new = dict(stages_old)
+    for name, entry in results.items():
+        if name in ("frontend", "backend", "marg", "preint", "mech", "host"):
+            e = dict(entry)
+            e.pop("cached", None)
+            e["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            stages_new[name] = e
+    perf["stages"] = stages_new
+    perf["last_fps"] = round(fps, 2)
+    _save_perf(perf)
+
+
+def main():
+    t0 = time.time()
+    deadline = t0 + float(os.environ.get("BENCH_DEADLINE_S", "840"))
+    perf = _load_perf()
+    results = {}
+
+    env = dict(os.environ)
+    env["BENCH_CHILD_DEADLINE"] = str(deadline - 25.0)
+    lines = []
+    with open(_CHILD_LOG, "w") as logf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=subprocess.PIPE, stderr=logf, text=True,
+            cwd=_HERE, env=env)
+
+        def reader():
+            for line in proc.stdout:
+                lines.append(line)
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        while time.time() < deadline - 15.0 and proc.poll() is None:
+            time.sleep(0.5)
+        if proc.poll() is None:
+            proc.terminate()
+            for _ in range(10):
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.5)
+            if proc.poll() is None:
+                proc.kill()
+        th.join(timeout=10)
+
+    for line in lines:
+        if line.startswith("STAGE "):
+            try:
+                d = json.loads(line[6:])
+                results[d.pop("name")] = d
+            except Exception:
+                pass
+
+    _merge_and_print(results, perf)
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv[1:]:
+        child_main()
+    else:
+        main()

@@ -22,6 +22,7 @@ def make_gins_dataset(
     odo_scale_err=0.01,
     odo_noise=0.02,
     turn_duration=18.0,
+    with_earth=False,
 ):
     """Timeline: 0-4 s stationary, 4-6 s accelerate (1 m/s^2 body-x),
     6-24 s gentle coordinated turn. IMU increments are generated in the body
@@ -72,17 +73,43 @@ def make_gins_dataset(
     n = len(w)
     t = dt * (np.arange(n) + 1)
 
-    # truth: mechanize bias-free increments from rest
-    imu_true = ImuBatch(
-        time=jnp.asarray(t),
-        dt=jnp.full(n, dt),
-        dtheta=jnp.asarray(w * dt),
-        dvel=jnp.asarray(f * dt),
-        odovel=jnp.zeros(n),
-    )
-    cfg = mech.MechConfig(gravity=jnp.array([0, 0, g]), iewn=jnp.zeros(3), iswithearth=False)
-    _, (p_true, q_true, v_true) = mech.mechanize_scan(cfg, NavState.identity(), imu_true)
-    p_true, q_true, v_true = np.asarray(p_true), np.asarray(q_true), np.asarray(v_true)
+    # truth: mechanize bias-free increments from rest. With earth enabled,
+    # the gyro senses the full inertial rate w_ib = w_nb + R_bn * w_ie
+    # (the estimator's earth-aware mechanization subtracts iewn back out,
+    # misc.cc:151-206 / mechanization.py), so the earth-rate component is
+    # injected into the true increments using the truth attitude — which
+    # itself is the earth-aware mechanization of those increments. Fixed
+    # point reached by iteration (the earth increment is ~3.6e-7 rad/sample;
+    # two passes converge far below noise).
+    iewn_np = np.zeros(3)
+    if with_earth:
+        from ic_gvins_tpu.core import earth
+
+        iewn_np = np.asarray(earth.iewn(jnp.asarray(origin), jnp.zeros(3)))
+    cfg = mech.MechConfig(
+        gravity=jnp.array([0, 0, g]), iewn=jnp.asarray(iewn_np),
+        iswithearth=with_earth)
+
+    dtheta_true = w * dt
+    n_iter = 3 if with_earth else 1
+    q_true = np.tile(np.array([0.0, 0, 0, 1.0]), (n, 1))
+    for _ in range(n_iter):
+        if with_earth:
+            # attitude at the START of each interval (prev sample's end)
+            q_prev = np.concatenate([q_true[:1] * 0 + [0, 0, 0, 1.0], q_true[:-1]])
+            earth_inc = np.asarray(
+                quat.rotate(quat.conj(jnp.asarray(q_prev)), jnp.asarray(iewn_np))
+            ) * dt
+            dtheta_true = w * dt + earth_inc
+        imu_true = ImuBatch(
+            time=jnp.asarray(t),
+            dt=jnp.full(n, dt),
+            dtheta=jnp.asarray(dtheta_true),
+            dvel=jnp.asarray(f * dt),
+            odovel=jnp.zeros(n),
+        )
+        _, (p_true, q_true, v_true) = mech.mechanize_scan(cfg, NavState.identity(), imu_true)
+        p_true, q_true, v_true = np.asarray(p_true), np.asarray(q_true), np.asarray(v_true)
 
     # measured increments include biases + white noise at the configured
     # densities (arw/vrw 0.1 deg/sqrt(hr), 0.1 m/s/sqrt(hr)): without real
@@ -94,7 +121,7 @@ def make_gins_dataset(
     ba = np.asarray(ba_true)
     arw = 0.1 * np.pi / 180.0 / 60.0   # rad/sqrt(s)
     vrw = 0.1 / 60.0                   # m/s/sqrt(s)
-    dtheta_m = (w + bg) * dt + rng.normal(0, arw * np.sqrt(dt), (n, 3))
+    dtheta_m = dtheta_true + bg * dt + rng.normal(0, arw * np.sqrt(dt), (n, 3))
     dvel_m = (f + ba) * dt + rng.normal(0, vrw * np.sqrt(dt), (n, 3))
 
     odovel = np.zeros(n)
@@ -132,6 +159,6 @@ def make_gins_dataset(
     )
     truth = dict(
         time=t, p=p_true, q=q_true, v=v_true, origin=origin, lever=lever,
-        gnss_local=np.stack(gnss_local),
+        gnss_local=np.stack(gnss_local), iewn=iewn_np,
     )
     return imu_data, gnss_data, truth

@@ -169,3 +169,33 @@ def test_vmap_batch():
     single = pre.preintegrate(params(), imus[2], sts[2], with_earth=False)
     np.testing.assert_allclose(out.dp[2], single.dp, atol=1e-12)
     np.testing.assert_allclose(out.cov[2], single.cov, atol=1e-12)
+
+
+def test_parallel_matches_sequential_field_by_field():
+    """Direct regression gate: the log-depth prefix-scan formulation
+    (preintegrate / ins/parallel_scan.py) must equal the sequential oracle
+    (preintegrate_seq) on EVERY PreintSummary field — normal + earth
+    variants, with zero-padded tails (ADVICE r2)."""
+    iewn = jnp.asarray([0.0, 5.5e-5, 4.8e-5])
+    for with_earth, seed in ((False, 5), (True, 6)):
+        imu = make_imu(97, seed=seed)
+        # zero-pad the tail: padded samples must be exact no-ops in both
+        pad = ImuBatch(
+            time=jnp.concatenate([imu.time, jnp.zeros(31)]),
+            dt=jnp.concatenate([imu.dt, jnp.zeros(31)]),
+            dtheta=jnp.concatenate([imu.dtheta, jnp.zeros((31, 3))]),
+            dvel=jnp.concatenate([imu.dvel, jnp.zeros((31, 3))]),
+            odovel=jnp.concatenate([imu.odovel, jnp.zeros(31)]),
+        )
+        st = start_state(seed + 10)
+        kw = dict(with_earth=with_earth, iewn=iewn if with_earth else None)
+        par = pre.preintegrate(params(), pad, st, **kw)
+        seq = pre.preintegrate_seq(params(), pad, st, **kw)
+        for field in par._fields:
+            a, b = np.asarray(getattr(par, field)), np.asarray(getattr(seq, field))
+            if field in ("dq", "end_q"):
+                assert abs(abs(float(np.dot(a, b))) - 1.0) < 1e-12, field
+                continue
+            scale = max(np.abs(b).max(), 1.0)
+            np.testing.assert_allclose(
+                a, b, atol=1e-9 * scale, err_msg=f"{field} (earth={with_earth})")
