@@ -48,7 +48,9 @@ def main():
     from ic_gvins_tpu.models.gvins import GvinsModel
     from ic_gvins_tpu.vision import camera as vcam
 
-    imu_data, gnss_data, truth = make_gins_dataset()
+    # iswithearth=true: the reference's shipped configuration — the host
+    # cost under test includes the per-frame iewn feedback
+    imu_data, gnss_data, truth = make_gins_dataset(with_earth=True)
     # 15 s slice: long enough for TRACKING_NORMAL + sliding-window
     # marginalizations (stable per-frame host cost), short enough that the
     # warm + measured replays fit a bench budget
@@ -59,7 +61,7 @@ def main():
         dict(
             initlength=3,
             imudatarate=200,
-            iswithearth=False,
+            iswithearth=True,
             antlever=list(truth["lever"]),
             imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
             gnssthreshold=20,

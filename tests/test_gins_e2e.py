@@ -161,6 +161,83 @@ def test_odo_replay_converges():
     assert 0.2 * scale_err < sodo < 3.0 * scale_err, f"sodo {sodo:.5f}"
 
 
+def test_earth_enabled_replay():
+    """iswithearth=true is the reference's SHIPPED configuration
+    (/root/reference/config/gvins.yaml:18): the earth-aware preintegration
+    (preintegration_earth.cc:205-324) and the iewn feedback loop
+    (ic_gvins.cc:673-691 + mechanization) run through the full estimator —
+    initialization, window solves, marginalization — on an earth-consistent
+    synthetic world, with the same accuracy bounds as the earth-free replay."""
+    imu_data, gnss_data, truth = make_gins_dataset(with_earth=True)
+    cfg = parse_config(
+        dict(
+            initlength=3,
+            imudatarate=200,
+            iswithearth=True,
+            antlever=list(truth["lever"]),
+            imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
+            gnssthreshold=20,
+            optimize_windows_size=10,
+        )
+    )
+    model = GinsModel(cfg)
+    traj = model.run(imu_data, gnss_data)
+    assert model.state == "INITIALIZING_INS"
+    assert model.est.wcfg.with_earth
+
+    rate, offset = 200.0, truth["gnss_local"][0]
+    errs = []
+    for row in traj[2:]:
+        t, p = row[0], row[1:4]
+        i = int(round(t * rate)) - 1
+        errs.append(np.linalg.norm(p + offset - truth["p"][i]))
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.08, f"mean pos err {errs.mean():.3f} m"
+    assert errs.max() < 0.30, f"max pos err {errs.max():.3f} m"
+
+    bg_est = model.est.mixes[model.est.n_nodes - 1, 3:6]
+    np.testing.assert_allclose(bg_est[:2], [0.002, -0.001], atol=1e-3)
+
+
+def test_earth_odo_replay():
+    """EARTH_ODO: the combined variant (preintegration_earth_odo.cc:240-291)
+    solves in the window — 19-res factors with earth-rate compensation and a
+    live sodo column — on an earth-consistent world with wheel increments."""
+    scale_err = 0.01
+    imu_data, gnss_data, truth = make_gins_dataset(
+        with_earth=True, with_odo=True, odo_scale_err=scale_err)
+    cfg = parse_config(
+        dict(
+            initlength=3,
+            imudatarate=200,
+            iswithearth=True,
+            antlever=list(truth["lever"]),
+            imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
+            gnssthreshold=20,
+            optimize_windows_size=10,
+            isuseodo=True,
+            odometer=dict(std=[0.02, 0.5, 0.5], srw=1000.0,
+                          abv=[0.0, 0.0, 0.0], lodo=[0.0, 0.0, 0.0]),
+        )
+    )
+    model = GinsModel(cfg)
+    traj = model.run(imu_data, gnss_data)
+    assert model.est.wcfg.with_earth and model.est.wcfg.with_odo
+    assert model.est.mixes.shape[1] == 10
+
+    rate, offset = 200.0, truth["gnss_local"][0]
+    errs = []
+    for row in traj[2:]:
+        t, p = row[0], row[1:4]
+        i = int(round(t * rate)) - 1
+        errs.append(np.linalg.norm(p + offset - truth["p"][i]))
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.08, f"mean pos err {errs.mean():.3f} m"
+
+    sodo = float(model.est.mixes[model.est.n_nodes - 1, 9])
+    assert 0.2 * scale_err < sodo < 3.0 * scale_err, f"sodo {sodo:.5f}"
+
+
 def test_dual_antenna_yaw_initialization():
     """With isyawvalid set, the init heading comes from the GNSS yaw field
     (ic_gvins.cc:631-633), not from the velocity direction."""
