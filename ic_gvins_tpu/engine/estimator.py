@@ -260,14 +260,13 @@ class SlidingWindowEstimator:
         )
 
     def _segment_iewn(self, state0_p):
+        # numpy: the eager-jnp version cost ~90 ms of per-op dispatch per
+        # add_time_node/reintegrate call (round-3 host profile)
         if not self.wcfg.with_earth or self.origin is None:
-            return jnp.zeros(3)
-        from ..core import earth
+            return np.zeros(3)
+        from ..core import earth_np
 
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            iewn = earth.iewn(jnp.asarray(self.origin), jnp.asarray(state0_p))
-        return jnp.asarray(np.asarray(iewn))
+        return earth_np.iewn(self.origin, state0_p)
 
     def add_time_node(self, time, imu_series: dict):
         """Append a node at ``time``; imu_series: numpy dict with keys

@@ -19,7 +19,7 @@ import numpy as np
 
 import jax
 
-from ..core import earth, quaternion as quat
+from ..core import earth_np, quaternion as quat
 from ..core.types import NavState
 from ..engine.config import GvinsConfig, integration_params_from_config
 from ..engine.estimator import SlidingWindowEstimator
@@ -103,11 +103,11 @@ class GinsModel:
             if self.origin is None:
                 # first fix defines the world origin + local gravity
                 self.origin = gblh[k].copy()
-                self.gravity = float(_cpu(earth.gravity, self.origin))
+                self.gravity = float(earth_np.gravity(self.origin))
                 gnss = dict(time=float(gtime[k]), blh=np.zeros(3), std=gstd[k].copy(),
                             yaw=float(gyaw[k]), isyawvalid=bool(gyawvalid[k]))
             else:
-                blh_local = _cpu(earth.global2local, self.origin, gblh[k])
+                blh_local = earth_np.global2local(self.origin, gblh[k])
                 gnss = dict(time=float(gtime[k]), blh=blh_local, std=gstd[k].copy(),
                             yaw=float(gyaw[k]), isyawvalid=bool(gyawvalid[k]))
 
@@ -198,7 +198,7 @@ class GinsModel:
         self._construct_prior(state0)
 
         iewn = (
-            _cpu(earth.iewn, self.origin, np.asarray(p0))
+            earth_np.iewn(self.origin, np.asarray(p0))
             if self.cfg.iswithearth
             else np.zeros(3)
         )
@@ -276,7 +276,7 @@ class GinsModel:
         # feedback: re-mechanize forward from the newest optimized node
         st = self.est.latest_state()
         if self.cfg.iswithearth:
-            self.prop.update_iewn(_cpu(earth.iewn, self.origin, np.asarray(st.p)))
+            self.prop.update_iewn(earth_np.iewn(self.origin, np.asarray(st.p)))
         self.prop.set_state(st)
 
         self.trajectory.append(

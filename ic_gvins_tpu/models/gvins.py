@@ -114,7 +114,7 @@ class GvinsModel(GinsModel):
         events += [("frame", ftime[k], k) for k in range(len(ftime))]
         events.sort(key=lambda e: (e[1], e[0] == "frame"))
 
-        from ..core import earth
+        from ..core import earth_np
 
         last_gnss = None
         for kind, t, k in events:
@@ -127,13 +127,13 @@ class GvinsModel(GinsModel):
                     continue
                 if self.origin is None:
                     self.origin = gblh[k].copy()
-                    self.gravity = float(_cpu(earth.gravity, self.origin))
+                    self.gravity = float(earth_np.gravity(self.origin))
                     gnss = dict(time=float(t), blh=np.zeros(3), std=gstd[k].copy(),
                                 yaw=float(gyaw[k]), isyawvalid=bool(gyawvalid[k]))
                 else:
                     gnss = dict(
                         time=float(t),
-                        blh=_cpu(earth.global2local, self.origin, gblh[k]),
+                        blh=earth_np.global2local(self.origin, gblh[k]),
                         std=gstd[k].copy(),
                         yaw=float(gyaw[k]),
                         isyawvalid=bool(gyawvalid[k]),
@@ -247,9 +247,9 @@ class GvinsModel(GinsModel):
         # feedback to INS (isoptimized_ path)
         st = self.est.latest_state()
         if self.cfg.iswithearth:
-            from ..core import earth
+            from ..core import earth_np
 
-            self.prop.update_iewn(_cpu(earth.iewn, self.origin, np.asarray(st.p)))
+            self.prop.update_iewn(earth_np.iewn(self.origin, np.asarray(st.p)))
         self.prop.set_state(st)
         self.trajectory.append([st.time, *np.asarray(st.p), *np.asarray(st.q)])
         if self.tracker.logging_row is not None and self.out:

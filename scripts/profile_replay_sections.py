@@ -65,7 +65,8 @@ def main():
     from ic_gvins_tpu.models.gvins import GvinsModel
     from ic_gvins_tpu.vision import camera as vcam
 
-    imu_data, gnss_data, truth = make_gins_dataset()
+    with_earth = os.environ.get("PROF_EARTH", "1") == "1"
+    imu_data, gnss_data, truth = make_gins_dataset(with_earth=with_earth)
     rate_cut = int(15.2 * 200)
     imu_data = {k: np.asarray(v)[:rate_cut] for k, v in imu_data.items()}
     gnss_data = {k: np.asarray(v)[:14] for k, v in gnss_data.items()}
@@ -73,7 +74,7 @@ def main():
         dict(
             initlength=3,
             imudatarate=200,
-            iswithearth=False,
+            iswithearth=with_earth,
             antlever=list(truth["lever"]),
             imumodel=dict(arw=0.1, vrw=0.1, gbstd=400.0, abstd=400.0, corrtime=1.0),
             gnssthreshold=20,

@@ -68,3 +68,27 @@ def test_pose_transforms_roundtrip():
     Rl, tl = earth.global2local_pose(WUHAN, Rg, blh)
     np.testing.assert_allclose(Rl, R, atol=1e-9)
     np.testing.assert_allclose(tl, t, atol=1e-6)
+
+
+def test_earth_np_parity():
+    """The host-path numpy twin (core/earth_np.py) must match the jnp module
+    exactly — the replay feeds earth_np results straight into jitted device
+    programs that were validated against core/earth.py."""
+    from ic_gvins_tpu.core import earth_np
+
+    rng = np.random.default_rng(7)
+    origins = np.stack(
+        [rng.uniform(-1.4, 1.4, 8), rng.uniform(-3.1, 3.1, 8), rng.uniform(-100, 5000, 8)],
+        axis=1,
+    )
+    locals_ = rng.uniform(-2e4, 2e4, (8, 3))
+    for o, l in zip(origins, locals_):
+        np.testing.assert_allclose(earth_np.gravity(o), float(earth.gravity(jnp.asarray(o))), rtol=0, atol=1e-12)
+        np.testing.assert_allclose(earth_np.cne(o), earth.cne(jnp.asarray(o)), atol=1e-15)
+        np.testing.assert_allclose(earth_np.blh2ecef(o), earth.blh2ecef(jnp.asarray(o)), atol=1e-8)
+        np.testing.assert_allclose(
+            earth_np.global2local(o, o + 1e-4), earth.global2local(jnp.asarray(o), jnp.asarray(o + 1e-4)), atol=1e-8)
+        np.testing.assert_allclose(
+            earth_np.local2global(o, l), earth.local2global(jnp.asarray(o), jnp.asarray(l)), atol=1e-12)
+        np.testing.assert_allclose(
+            earth_np.iewn(o, l), earth.iewn(jnp.asarray(o), jnp.asarray(l)), rtol=0, atol=1e-18)
