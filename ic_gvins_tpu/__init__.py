@@ -11,8 +11,9 @@ Design principles (TPU-first, not a port):
     ``vmap``-ed over intervals
   - the Ceres sliding-window optimizer is replaced by a fixed-shape
     Levenberg-Marquardt solver with Schur-complement landmark elimination
-  - marginalization is full-layout masked Schur + eigh sqrt-factorization
-    (dense linear algebra on the MXU, no dynamic shapes)
+  - marginalization is structured masked Schur (diagonal landmark
+    elimination + small-block eigh) + equilibrated Cholesky
+    sqrt-factorization (dense linear algebra on the MXU, no dynamic shapes)
   - the frontend (pyramids, Shi-Tomasi, pyramidal LK, triangulation) is
     batched image kernels in f32; the estimator runs in f64
 

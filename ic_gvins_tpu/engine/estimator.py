@@ -499,6 +499,9 @@ class SlidingWindowEstimator:
         landmark-marginalized mask for the caller's map bookkeeping."""
         if num_marg <= 0:
             return None
+        assert num_marg <= self.wcfg.marg_cap, (
+            f"num_marg={num_marg} exceeds marg_cap={self.wcfg.marg_cap}: the "
+            f"structured Schur factors only the leading marg_cap node blocks")
         if tables is None:
             tables = self.build_tables()
         if params is None:

@@ -5,9 +5,12 @@ evaluate the factors touching the marginalized parameters, assemble H/b,
 Schur-eliminate the marginalized block with an eigen pseudo-inverse, and
 sqrt-factorize the reduced system into a linearized prior (J0, e0) replayed
 as e = e0 + J0 (x ⊟ x0). Unlike the reference's absolute 1e-8 eigenvalue
-cut, both eigendecompositions run on Jacobi-equilibrated matrices with a
-RELATIVE cut — see _equilibrated_eigh for why the absolute cut is unstable
-at preintegration information scales.
+cut, the factorizations run on Jacobi-equilibrated matrices with RELATIVE
+thresholds — see _equilibrated_eigh for why the absolute cut is unstable at
+preintegration information scales — and exploit the factor-graph structure
+(diagonal landmark block, small marged-node block, landmark-free prior) so
+no full-D spectral decomposition is ever needed (see _schur_sqrt /
+_ridge_chol_sqrt for the TPU compile-time numbers that forced this).
 
 TPU-native design: instead of the reference's pointer-keyed index maps and
 marg-first reordering, everything stays in the FULL fixed window layout (D
@@ -26,39 +29,43 @@ import jax
 import jax.numpy as jnp
 
 from ..core import quaternion as quat
+from ..core.linalg64 import chol_inv_blocked
 from ..solver.problem import (
     POSE_LOCAL,
     FactorTables,
     MargPrior,
     WindowConfig,
     WindowParams,
-    build_normal_equations,
+    build_normal_blocks,
 )
 
-EPS = 1e-10  # RELATIVE eigenvalue cut on the Jacobi-equilibrated matrices
+RIDGE = 1e-9  # relative ridge pinning null directions, on equilibrated scale
 
 
-def _equilibrated_eigh(A):
-    """eigh of D^{-1/2} A D^{-1/2} with D = clip(diag(A)).
+def _equilibrated_chol_inv(A):
+    """(L, W=L^{-1}, d) of the Jacobi-equilibrated, RIDGE-regularized ``A``:
+    A + ridge = d[:,None]*d[None,:] * (L @ L.T), W = L^{-1}.
 
-    The reference thresholds raw eigenvalues at an ABSOLUTE 1e-8
-    (marginalization_info.h:180-187). With whitened preintegration info the
-    Hessian reaches ~1e9, so eigh's rounding junk on exact-null (gauge /
-    untouched-parameter) directions lands anywhere up to ~1e-6 — randomly
-    above or below an absolute cut. Junk directions that survive get
-    1/sqrt(s) amplification in e0, inflating the prior's constant cost by
-    orders of magnitude, which wrecks LM's relative convergence test and
-    turns run outcomes chaotic. Equilibrating first collapses the scale
-    spread: real information maps to O(1) eigenvalues, junk stays at
-    ~D*eps_f64 ~ 1e-13, and a relative cut separates them cleanly.
-
-    Returns (w, V, d) with A = d[:,None]*d[None,:] * (V w V^T)."""
+    Equilibration lesson (hard-won, round 1): the reference thresholds raw
+    eigenvalues at an ABSOLUTE 1e-8 (marginalization_info.h:180-187). With
+    whitened preintegration info the Hessian reaches ~1e9, so factorization
+    junk on exact-null (gauge / untouched-parameter) directions lands
+    anywhere up to ~1e-6 — randomly above or below an absolute threshold,
+    making run outcomes depend on process-level rounding. Equilibrating
+    first collapses the scale spread: real information maps to O(1), junk
+    stays at ~D*eps_f64 ~ 1e-13, and a RELATIVE ridge (1e-9 >> junk,
+    << real) regularizes cleanly. If assembly noise ever exceeds the ridge
+    (non-PD → NaN factor), retry once with a 1e5-stronger pin."""
     dg = jnp.diag(A)
     dmax = jnp.maximum(jnp.max(dg), 1.0)  # floor 1: zero/empty blocks stay finite
     d = jnp.sqrt(jnp.clip(dg, dmax * 1e-30, None))
     An = A / (d[:, None] * d[None, :])
-    w, V = jnp.linalg.eigh(0.5 * (An + An.T))
-    return w, V, d
+    An = 0.5 * (An + An.T)
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    L, W = chol_inv_blocked(An + RIDGE * eye)
+    ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.isfinite(W))
+    L2, W2 = chol_inv_blocked(An + (RIDGE * 1e5) * eye)
+    return jnp.where(ok, L, L2), jnp.where(ok, W, W2), d
 
 
 def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg: WindowConfig):
@@ -73,47 +80,121 @@ def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg:
 
     Returns a MargPrior linearized at ``params``.
     """
-    H, b, act = build_normal_equations(params, marg_tables, cfg)
-    # the prior inside marg_tables is evaluated at its own x0; H/b from
-    # build_normal_equations already include it.
+    # block form: the full (D,D) dense H is never materialized — the
+    # landmark block is diagonal by construction (build_normal_blocks)
+    Hss, Hsl, hll, b, act = build_normal_blocks(params, marg_tables, cfg)
+    # the prior inside marg_tables is evaluated at its own x0 and already
+    # included in the assembled blocks.
 
-    J0, e0 = _schur_sqrt(H, b, marg_mask, (1.0 - marg_mask) * act)
+    node_idx = jnp.arange(cfg.marg_cap * cfg.node_dim, dtype=jnp.int32)
+    J0, e0 = _schur_sqrt(Hss, Hsl, hll, b, marg_mask,
+                         (1.0 - marg_mask) * act, node_idx, cfg)
 
     H0 = J0.T @ J0
     Jte0 = J0.T @ e0
     return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=params, valid=jnp.ones(()))
 
 
-def _schur_sqrt(H, b, m, r):
+def _ridge_chol_sqrt(Hp, bp):
+    """sqrt-factorize ``Hp`` into (J0p, e0p) with J0p^T J0p = Hp + ridge and
+    J0p^T e0p = -bp EXACTLY, via Jacobi-equilibrated Cholesky.
+
+    Replaces the reference's eigendecomposition sqrt
+    (marginalization_info.h:153-167). Two reasons:
+    (a) XLA:TPU compiles f64 eigh above ~256 through a QDWH expansion that
+        takes MINUTES (measured on chip: 135 s at D=307, 387 s at D=512 —
+        round 2's bench died on exactly this); Cholesky compiles in seconds;
+    (b) at runtime the triangular factorization is ~10x cheaper than the
+        spectral one on every backend.
+    Semantics: instead of CUTTING null-space (gauge / untouched-parameter)
+    directions, each direction is pinned to x0 with RIDGE-relative strength
+    (~1e-9 of the diagonal scale) — statistically negligible information.
+    For least-squares H,b we have b in range(H), so the null components of
+    bp are rounding-level and e0 stays at residual scale: the |e0|^2 and
+    gradient-consistency gates in tests/test_marginalization.py still hold.
+    """
+    L, W, d = _equilibrated_chol_inv(Hp)
+    J0p = L.T * d[None, :]
+    e0p = -(W @ (bp / d))
+    return J0p, e0p
+
+
+def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     """Schur-eliminate the masked coordinates and sqrt-factorize the result.
 
-    m: (D,) 0/1 marginalized mask; r: (D,) 0/1 remained mask.
-    Returns (J0, e0) with J0^T J0 = Hp and J0^T e0 = -bp."""
-    Hmm = H * m[:, None] * m[None, :]
-    Hrm = H * r[:, None] * m[None, :]
-    Hrr = H * r[:, None] * r[None, :]
+    Inputs are the BLOCK normal equations (build_normal_blocks): Hss
+    (NP,NP) over node/ext/td coords, Hsl (NP,L) node-landmark coupling,
+    hll (L,) the diagonal landmark block, b (D,). m: (D,) 0/1 marginalized
+    mask; r: (D,) 0/1 remained mask. Returns (J0, e0), both full-D padded,
+    with J0^T J0 = Hp (+ relative ridge) and J0^T e0 = -bp exactly.
+
+    Exploits the problem's structure instead of factoring the full D x D
+    system (819 at production sizing) like the reference does:
+
+    * marged NON-landmark coords all lie inside the static candidate set
+      ``node_idx`` (the leading ``marg_cap`` node blocks for a window slide;
+      one interior node block for a merge) — the caller guarantees this;
+    * landmark coords couple to each other only diagonally (two inverse
+      depths never share a factor), so their elimination is a diagonal
+      scaling;
+    * remained support never includes landmark columns: the prior carries
+      node/extrinsic/td information only (select_marg_factors marginalizes
+      every landmark its collected factors touch, matching
+      ic_gvins.cc:1569-1610, and priors chain inductively).
+
+    Net: the diagonal landmark elimination + one |node_idx| (<= 90) and one
+    leading-block (N*node_dim+7) blocked f64 Cholesky (core/linalg64.py)
+    replace the reference's full-D eigendecompositions, whose XLA:TPU
+    compile alone takes minutes and whose runtime is ~50x this path.
+    Rank-deficient directions (gauge / untouched params) are pinned with a
+    RIDGE-relative (~1e-9) weight instead of being cut: for least-squares
+    H,b we have b in range(H), so null components of bp are rounding-level
+    and e0 stays at residual scale (gates in tests/test_marginalization.py).
+    """
+    NP = cfg.lm_off
+    lo = cfg.lm_off
+    m_n = m[node_idx]
+    m_l = m[lo:]
+    rN = r[:NP]
+
+    # masked marg blocks: A (node x node), B (node x landmark), c (lm diag)
+    A = Hss[node_idx][:, node_idx] * (m_n[:, None] * m_n[None, :])
+    B = Hsl[node_idx] * (m_n[:, None] * m_l[None, :])
+    c = hll * m_l
+    c_inv = jnp.where(c > jnp.maximum(jnp.max(c), 1.0) * 1e-30,
+                      1.0 / jnp.where(c > 0, c, 1.0), 0.0)
+
+    # inverse of the landmark-eliminated marged node block (the reference's
+    # eigen pseudo-inverse, marginalization_info.h:180-187; joint null
+    # vectors with landmark components project into S's null space, where
+    # the equilibrated relative ridge takes over the rank handling)
+    S = A - (B * c_inv[None, :]) @ B.T
+    Ls, Ws, dm = _equilibrated_chol_inv(S)
+    S1 = (Ws.T @ Ws) / (dm[:, None] * dm[None, :])
+    # one Newton step toward the true pseudo-inverse: the plain ridged
+    # inverse underweights weakly-determined directions by ridge/w (~1e-6
+    # relative at w ~ 1e-3); refinement squares that to ~1e-12 while null
+    # junk stays range-consistent (contribution ~eps^2/ridge ~ 1e-17)
+    S_inv = 2.0 * S1 - S1 @ S @ S1
+
+    # remained (rows, <= NP) x marged (cols) coupling blocks
+    Un = Hss[:, node_idx] * (rN[:, None] * m_n[None, :])
+    Ul = Hsl * (rN[:, None] * m_l[None, :])
+    Ulc = Ul * c_inv[None, :]
+    W = Un - Ulc @ B.T
+
+    Hrr = Hss * (rN[:, None] * rN[None, :])
+    Hp = Hrr - Ulc @ Ul.T - (W @ S_inv) @ W.T
+
     bm = b * m
-    br = b * r
+    bl = bm[lo:]
+    x_n = S_inv @ (bm[:NP][node_idx] - B @ (c_inv * bl))
+    bp = (b * r)[:NP] - W @ x_n - Ul @ (c_inv * bl)
 
-    # eigen pseudo-inverse of the marginalized block
-    # (marginalization_info.h:180-187, equilibrated — see _equilibrated_eigh)
-    w, V, dm = _equilibrated_eigh(Hmm)
-    keep = w > EPS * jnp.maximum(w[-1], 1.0)
-    w_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
-    Hmm_inv = ((V * w_inv[None, :]) @ V.T) / (dm[:, None] * dm[None, :])
-
-    Hp = Hrr - Hrm @ Hmm_inv @ Hrm.T
-    bp = br - Hrm @ (Hmm_inv @ bm)
-
-    # sqrt factorization (marginalization_info.h:153-167, equilibrated:
-    # Hp = Dp^1/2 (U s U^T) Dp^1/2  =>  J0 = sqrt(s) U^T Dp^1/2 and
-    # e0 = -sqrt(s)^-1 U^T Dp^-1/2 bp, so H0 = J0^T J0 and J0^T e0 = -P bp)
-    w, U, dp = _equilibrated_eigh(Hp)
-    keep = w > EPS * jnp.maximum(w[-1], 1.0)
-    s_clamped = jnp.where(keep, w, 0.0)
-    s_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
-    J0 = jnp.sqrt(s_clamped)[:, None] * (U.T * dp[None, :])
-    e0 = -(jnp.sqrt(s_inv)[:, None] * U.T) @ (bp / dp)
+    J0p, e0p = _ridge_chol_sqrt(0.5 * (Hp + Hp.T), bp)
+    D = b.shape[0]
+    J0 = jnp.zeros((D, D), b.dtype).at[:NP, :NP].set(J0p)
+    e0 = jnp.zeros(D, b.dtype).at[:NP].set(e0p)
     return J0, e0
 
 
@@ -134,10 +215,15 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     ND = cfg.node_dim
     idx = k * ND + jnp.arange(ND)
     m = jnp.zeros(D).at[idx].set(1.0)
-    # restrict to coordinates the prior actually constrains (zero J0
-    # columns stay zero through the Schur complement)
-    act = (jnp.abs(prior.J0).max(axis=0) > 0).astype(jnp.float64)
-    J0, e0 = _schur_sqrt(prior.H0, -prior.Jte0, m, (1.0 - m) * act)
+    # restrict to coordinates the prior actually constrains (the threshold
+    # is RELATIVE: ridge-pinned null columns sit ~15 orders below real ones)
+    amax = jnp.abs(prior.J0).max()
+    act = (jnp.abs(prior.J0).max(axis=0)
+           > 1e-12 * jnp.maximum(amax, 1e-30)).astype(jnp.float64)
+    NP = cfg.lm_off
+    J0, e0 = _schur_sqrt(prior.H0[:NP, :NP], prior.H0[:NP, NP:],
+                         jnp.diag(prior.H0)[NP:], -prior.Jte0, m,
+                         (1.0 - m) * act, jnp.asarray(idx, jnp.int32), cfg)
 
     # compact: node columns > k move one slot left, last node zeroed
     nd = cfg.N * ND

@@ -64,6 +64,15 @@ class WindowConfig(NamedTuple):
         return 19 if self.with_odo else 15
 
     @property
+    def marg_cap(self):
+        """Static bound on nodes marginalized per window slide (at most the
+        second-oldest keyframe's node; GNSS 1 Hz vs keyframes ~2 Hz keeps the
+        real count at 1-3). Sizes the small marged-node block factored by
+        marginalization._schur_sqrt; the estimator asserts num_marg stays
+        under it."""
+        return min(6, self.N)
+
+    @property
     def ext_off(self):
         return self.N * self.node_dim
 

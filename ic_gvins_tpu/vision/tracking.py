@@ -124,9 +124,15 @@ class Tracker:
         self.histogram = 0.0
         self.passed_cnt = 0
 
-        # reference-track feature lists (host)
+        # reference-track feature lists (host). und_* mirror pts_* with
+        # cached undistorted pixels: the 8-iteration numpy undistortion was
+        # recomputed for the SAME distorted points 5+ times per frame
+        # (~1.6 ms/frame of the host budget)
         self.pts_ref = []      # distorted px in the feature's reference frame
         self.pts_new = []      # distorted px at the latest tracked frame
+        self.und_ref = []      # undistorted px of pts_ref (cache)
+        self.und_new = []      # undistorted px of pts_new (cache)
+        self.und_cur = np.zeros((0, 2))  # undistorted px of pts_cur (cache)
         self.ref_frames = []   # VFrame the feature was created in
         self.vel_ref = []      # normalized-plane velocity at reference
 
@@ -456,9 +462,9 @@ class Tracker:
             return None
 
         pts_new = np.asarray(self.pts_new)
-        # rotation-compensated prediction
+        # rotation-compensated prediction (cached undistortion)
         r_cur_pre = self.frame_cur.R.T @ self.frame_pre.R
-        und = self._undis(pts_new)
+        und = np.asarray(self.und_new)
         pc_pre = self._pixel2cam(und)
         pc_cur = pc_pre @ r_cur_pre.T
         xy = cam.distort_normalized(self.cam, pc_cur[:, :2] / pc_cur[:, 2:3])
@@ -471,7 +477,7 @@ class Tracker:
             return False
         pts_cur = nxt[ok]
 
-        und_new = self._undis(np.asarray(self.pts_new))
+        und_new = np.asarray(self.und_new)
         und_cur = self._undis(pts_cur)
 
         dt = self.frame_cur.stamp - self.frame_pre.stamp
@@ -485,7 +491,7 @@ class Tracker:
         # parallax over features referenced to the tracking reference keyframe
         sel = [k for k in range(len(self.pts_new)) if self.ref_frames[k] is self.frame_ref]
         if sel:
-            und_ref = self._undis(np.asarray([self.pts_ref[k] for k in sel]))
+            und_ref = np.asarray([self.und_ref[k] for k in sel])
             par = self._keypoint_parallax(
                 und_ref, und_cur[sel], self.frame_ref.R, self.frame_cur.R
             )
@@ -503,6 +509,7 @@ class Tracker:
             )
             keep = np.asarray(inl)[: len(pts_cur)]
             pts_cur = pts_cur[keep]
+            und_cur = und_cur[keep]
             vel_cur = vel_cur[keep]
             self._reduce(keep)
 
@@ -511,7 +518,9 @@ class Tracker:
 
         self.vel_cur = vel_cur
         self.pts_cur = [p for p in pts_cur]
+        self.und_cur = und_cur
         self.pts_new = [p.copy() for p in pts_cur]
+        self.und_new = [u.copy() for u in und_cur]
         return True
 
     def check_keyframe_state(self):
@@ -558,8 +567,8 @@ class Tracker:
             return False
 
         n = len(self.pts_cur)
-        und_ref = self._undis(np.asarray(self.pts_ref))
-        und_cur = self._undis(np.asarray(self.pts_cur))
+        und_ref = np.asarray(self.und_ref)
+        und_cur = np.asarray(self.und_cur)
 
         keep = np.zeros(n, bool)
         tri_idx = []
@@ -573,6 +582,7 @@ class Tracker:
                 # feature added mid-stream: re-reference to the current frame
                 self.ref_frames[k] = self.frame_cur
                 self.pts_ref[k] = self.pts_cur[k].copy()
+                self.und_ref[k] = und_cur[k].copy()
                 keep[k] = True
                 continue
             if self.map.is_window_normal() and fref.kf_id is not None and not self.map.is_keyframe_in_map(fref):
@@ -634,7 +644,9 @@ class Tracker:
 
         self._reduce(keep)
         self.pts_cur = [self.pts_cur[k] for k in range(n) if keep[k]] if hasattr(self, "pts_cur") else []
+        self.und_cur = und_cur[keep]
         self.pts_new = [p.copy() for p in self.pts_cur]
+        self.und_new = [u.copy() for u in self.und_cur]
         return True
 
     def _good_to_track(self, und_px, R, t, pw, scale, depth_scale):
@@ -678,6 +690,7 @@ class Tracker:
         if not ismask:
             # fresh start on this frame (tracking.cc:662-667)
             self.pts_ref, self.pts_new, self.ref_frames, self.vel_ref = [], [], [], []
+            self.und_ref, self.und_new = [], []
 
         img = getattr(frame, "pyr", self.pyr_cur)[0]
         if ismask and existing:
@@ -690,9 +703,12 @@ class Tracker:
 
         budget = self.max_features - num_features
         cn = cn[:budget]
-        for p in cn:
+        und_cn = self._undis(np.asarray(cn, np.float64))
+        for p, u in zip(cn, und_cn):
             self.pts_ref.append(p.copy())
             self.pts_new.append(p.copy())
+            self.und_ref.append(u.copy())
+            self.und_new.append(u.copy())
             self.ref_frames.append(frame)
             self.vel_ref.append(np.zeros(2))
 
@@ -704,6 +720,8 @@ class Tracker:
         keep = np.asarray(keep, bool)
         self.pts_ref = [p for p, k in zip(self.pts_ref, keep) if k]
         self.pts_new = [p for p, k in zip(self.pts_new, keep) if k]
+        self.und_ref = [u for u, k in zip(self.und_ref, keep) if k]
+        self.und_new = [u for u, k in zip(self.und_new, keep) if k]
         self.ref_frames = [f for f, k in zip(self.ref_frames, keep) if k]
         self.vel_ref = [v for v, k in zip(self.vel_ref, keep) if k]
 
@@ -725,6 +743,9 @@ class Tracker:
     def _reset_tracking_state(self):
         self.pts_ref = []
         self.pts_new = []
+        self.und_ref = []
+        self.und_new = []
+        self.und_cur = np.zeros((0, 2))
         self.ref_frames = []
         self.vel_ref = []
         self.pts_cur = []
