@@ -60,6 +60,15 @@ def _marg_jit(params, tables, num_marg, oldest, wc):
     return prior, lm_m
 
 
+@_functools.partial(jax.jit, static_argnums=(1, 2))
+def _drop_node_jit(prior, wc, k):
+    # MUST run jitted: eager dispatch compiles the lax.cond retry inside
+    # _equilibrated_chol_inv as a standalone primitive, which segfaults
+    # XLA:CPU's backend_compile (reproduced 2026-08; fine under jit). k is
+    # a host int < N so the per-k executables stay in the compile cache.
+    return marg.drop_node_from_prior(prior, wc, k)
+
+
 def _np_tree(tree):
     """Writable numpy copy of a (device or numpy) pytree."""
     return jax.tree_util.tree_map(lambda a: np.array(a), tree)
@@ -499,9 +508,16 @@ class SlidingWindowEstimator:
         landmark-marginalized mask for the caller's map bookkeeping."""
         if num_marg <= 0:
             return None
-        assert num_marg <= self.wcfg.marg_cap, (
-            f"num_marg={num_marg} exceeds marg_cap={self.wcfg.marg_cap}: the "
-            f"structured Schur factors only the leading marg_cap node blocks")
+        if num_marg > self.wcfg.marg_cap:
+            # a real exception, NOT an assert: under python -O an assert
+            # vanishes and _schur_sqrt would silently neither eliminate nor
+            # retain node blocks beyond marg_cap, producing a WRONG prior.
+            # Callers keep the bound by construction (gvins pre-merges
+            # surplus nodes before marginalizing — models/gvins.py).
+            raise ValueError(
+                f"num_marg={num_marg} exceeds marg_cap={self.wcfg.marg_cap}: "
+                f"the structured Schur factors only the leading marg_cap "
+                f"node blocks; pre-merge surplus nodes before marginalizing")
         if tables is None:
             tables = self.build_tables()
         if params is None:
@@ -588,4 +604,4 @@ class SlidingWindowEstimator:
         # the prior's node columns must follow the slot compaction (see
         # marg.drop_node_from_prior) or it constrains the wrong nodes
         if self.marg_prior is not None:
-            self.marg_prior = marg.drop_node_from_prior(self.marg_prior, self.wcfg, k)
+            self.marg_prior = _drop_node_jit(self.marg_prior, self.wcfg, int(k))

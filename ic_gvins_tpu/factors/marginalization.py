@@ -13,12 +13,15 @@ no full-D spectral decomposition is ever needed (see _schur_sqrt /
 _ridge_chol_sqrt for the TPU compile-time numbers that forced this).
 
 TPU-native design: instead of the reference's pointer-keyed index maps and
-marg-first reordering, everything stays in the FULL fixed window layout (D
-columns). The marginalized set is a 0/1 mask; the Schur complement is
-computed with masked blocks and a clamped eigendecomposition, and parameters
-absent from the collected factors simply have zero rows/columns — their J0
-columns come out zero, which is exactly equivalent to the reference keeping
-only "remained" blocks. No dynamic shapes, no per-event recompilation.
+marg-first reordering, assembly stays in the fixed window layout (D local
+columns) and the RESULTING PRIOR lives on its true fixed (NP = lm_off)
+node/ext/td support — marginalization removes every landmark its factors
+touch, so landmark columns are identically zero and never stored. The
+marginalized set is a 0/1 mask; the Schur complement is computed with masked
+blocks, and parameters absent from the collected factors simply have zero
+rows/columns — their J0 columns come out zero, which is exactly equivalent
+to the reference keeping only "remained" blocks. No dynamic shapes, no
+per-event recompilation.
 
 Window shifts after marginalization are a column roll of J0 / x0
 (`shift_prior`), replacing the reference's parameter-block remapping
@@ -43,8 +46,8 @@ RIDGE = 1e-9  # relative ridge pinning null directions, on equilibrated scale
 
 
 def _equilibrated_chol_inv(A):
-    """(L, W=L^{-1}, d) of the Jacobi-equilibrated, RIDGE-regularized ``A``:
-    A + ridge = d[:,None]*d[None,:] * (L @ L.T), W = L^{-1}.
+    """(L, W=L^{-1}, d, ridge) of the Jacobi-equilibrated, RIDGE-regularized
+    ``A``: A + ridge*diag(d^2) = d[:,None]*d[None,:] * (L @ L.T), W = L^{-1}.
 
     Equilibration lesson (hard-won, round 1): the reference thresholds raw
     eigenvalues at an ABSOLUTE 1e-8 (marginalization_info.h:180-187). With
@@ -55,7 +58,9 @@ def _equilibrated_chol_inv(A):
     first collapses the scale spread: real information maps to O(1), junk
     stays at ~D*eps_f64 ~ 1e-13, and a RELATIVE ridge (1e-9 >> junk,
     << real) regularizes cleanly. If assembly noise ever exceeds the ridge
-    (non-PD → NaN factor), retry once with a 1e5-stronger pin."""
+    (non-PD → NaN factor), retry once with a 1e5-stronger pin — under
+    lax.cond so the rare fallback factorization never runs on the healthy
+    path (it used to double every marginalization's runtime)."""
     dg = jnp.diag(A)
     dmax = jnp.maximum(jnp.max(dg), 1.0)  # floor 1: zero/empty blocks stay finite
     d = jnp.sqrt(jnp.clip(dg, dmax * 1e-30, None))
@@ -64,8 +69,13 @@ def _equilibrated_chol_inv(A):
     eye = jnp.eye(A.shape[0], dtype=A.dtype)
     L, W = chol_inv_blocked(An + RIDGE * eye)
     ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.isfinite(W))
-    L2, W2 = chol_inv_blocked(An + (RIDGE * 1e5) * eye)
-    return jnp.where(ok, L, L2), jnp.where(ok, W, W2), d
+    L, W = jax.lax.cond(
+        ok,
+        lambda: (L, W),
+        lambda: chol_inv_blocked(An + (RIDGE * 1e5) * eye),
+    )
+    ridge = jnp.where(ok, RIDGE, RIDGE * 1e5)
+    return L, W, d, ridge
 
 
 def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg: WindowConfig):
@@ -81,23 +91,30 @@ def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg:
     Returns a MargPrior linearized at ``params``.
     """
     # block form: the full (D,D) dense H is never materialized — the
-    # landmark block is diagonal by construction (build_normal_blocks)
-    Hss, Hsl, hll, b, act = build_normal_blocks(params, marg_tables, cfg)
+    # landmark block is diagonal by construction (build_normal_blocks).
+    # reproj_f64: here H becomes the prior itself (not just an LM
+    # preconditioner), so the reprojection blocks are assembled in f64 —
+    # f32 assembly noise (~1e-7 relative) would exceed the 1e-9 relative
+    # ridge; marginalization is rare (~0.1/frame) so the cost is negligible.
+    Hss, Hsl, hll, b, act = build_normal_blocks(params, marg_tables, cfg,
+                                                reproj_f64=True)
     # the prior inside marg_tables is evaluated at its own x0 and already
     # included in the assembled blocks.
 
     node_idx = jnp.arange(cfg.marg_cap * cfg.node_dim, dtype=jnp.int32)
-    J0, e0 = _schur_sqrt(Hss, Hsl, hll, b, marg_mask,
-                         (1.0 - marg_mask) * act, node_idx, cfg)
-
-    H0 = J0.T @ J0
-    Jte0 = J0.T @ e0
-    return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=params, valid=jnp.ones(()))
+    J0, e0, H0, bp = _schur_sqrt(Hss, Hsl, hll, b, marg_mask,
+                                 (1.0 - marg_mask) * act, node_idx, cfg)
+    # H0 = J0^T J0 and Jte0 = -bp hold BY CONSTRUCTION of the Cholesky sqrt
+    # (_ridge_chol_sqrt) — recomputing the Gram product here was a D^3=819^3
+    # software-emulated-f64 matmul doing 19x the work of the prior's true
+    # NP^2 support, per marginalization.
+    return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=-bp, x0=params, valid=jnp.ones(()))
 
 
 def _ridge_chol_sqrt(Hp, bp):
-    """sqrt-factorize ``Hp`` into (J0p, e0p) with J0p^T J0p = Hp + ridge and
-    J0p^T e0p = -bp EXACTLY, via Jacobi-equilibrated Cholesky.
+    """sqrt-factorize ``Hp`` into (J0p, e0p, H0p) with J0p^T J0p = H0p =
+    Hp + ridge*diag(d^2) and J0p^T e0p = -bp EXACTLY, via Jacobi-equilibrated
+    Cholesky (H0p is returned so callers never need the Gram product).
 
     Replaces the reference's eigendecomposition sqrt
     (marginalization_info.h:153-167). Two reasons:
@@ -113,10 +130,11 @@ def _ridge_chol_sqrt(Hp, bp):
     bp are rounding-level and e0 stays at residual scale: the |e0|^2 and
     gradient-consistency gates in tests/test_marginalization.py still hold.
     """
-    L, W, d = _equilibrated_chol_inv(Hp)
+    L, W, d, ridge = _equilibrated_chol_inv(Hp)
     J0p = L.T * d[None, :]
     e0p = -(W @ (bp / d))
-    return J0p, e0p
+    H0p = Hp + jnp.diag(ridge * d * d)
+    return J0p, e0p, H0p
 
 
 def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
@@ -125,8 +143,10 @@ def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     Inputs are the BLOCK normal equations (build_normal_blocks): Hss
     (NP,NP) over node/ext/td coords, Hsl (NP,L) node-landmark coupling,
     hll (L,) the diagonal landmark block, b (D,). m: (D,) 0/1 marginalized
-    mask; r: (D,) 0/1 remained mask. Returns (J0, e0), both full-D padded,
-    with J0^T J0 = Hp (+ relative ridge) and J0^T e0 = -bp exactly.
+    mask; r: (D,) 0/1 remained mask. Returns (J0, e0, H0, bp) on the prior's
+    TRUE (NP,NP) support — remained support never includes landmark columns
+    (see below) so nothing outside the leading NP block is ever nonzero —
+    with J0^T J0 = H0 = Hp (+ relative ridge) and J0^T e0 = -bp exactly.
 
     Exploits the problem's structure instead of factoring the full D x D
     system (819 at production sizing) like the reference does:
@@ -169,7 +189,7 @@ def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     # vectors with landmark components project into S's null space, where
     # the equilibrated relative ridge takes over the rank handling)
     S = A - (B * c_inv[None, :]) @ B.T
-    Ls, Ws, dm = _equilibrated_chol_inv(S)
+    Ls, Ws, dm, _ = _equilibrated_chol_inv(S)
     S1 = (Ws.T @ Ws) / (dm[:, None] * dm[None, :])
     # one Newton step toward the true pseudo-inverse: the plain ridged
     # inverse underweights weakly-determined directions by ridge/w (~1e-6
@@ -191,11 +211,8 @@ def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     x_n = S_inv @ (bm[:NP][node_idx] - B @ (c_inv * bl))
     bp = (b * r)[:NP] - W @ x_n - Ul @ (c_inv * bl)
 
-    J0p, e0p = _ridge_chol_sqrt(0.5 * (Hp + Hp.T), bp)
-    D = b.shape[0]
-    J0 = jnp.zeros((D, D), b.dtype).at[:NP, :NP].set(J0p)
-    e0 = jnp.zeros(D, b.dtype).at[:NP].set(e0p)
-    return J0, e0
+    J0p, e0p, H0p = _ridge_chol_sqrt(0.5 * (Hp + Hp.T), bp)
+    return J0p, e0p, H0p, bp
 
 
 def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
@@ -212,6 +229,7 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     merged node's 15 coordinates out of the prior, then compact columns.
     ``k`` is a host int."""
     D = cfg.D
+    NP = cfg.lm_off
     ND = cfg.node_dim
     idx = k * ND + jnp.arange(ND)
     m = jnp.zeros(D).at[idx].set(1.0)
@@ -220,31 +238,47 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     amax = jnp.abs(prior.J0).max()
     act = (jnp.abs(prior.J0).max(axis=0)
            > 1e-12 * jnp.maximum(amax, 1e-30)).astype(jnp.float64)
-    NP = cfg.lm_off
-    J0, e0 = _schur_sqrt(prior.H0[:NP, :NP], prior.H0[:NP, NP:],
-                         jnp.diag(prior.H0)[NP:], -prior.Jte0, m,
-                         (1.0 - m) * act, jnp.asarray(idx, jnp.int32), cfg)
+    # the prior is landmark-free by construction: pad zero landmark blocks
+    J0, e0, H0, bp = _schur_sqrt(
+        prior.H0, jnp.zeros((NP, cfg.L)), jnp.zeros(cfg.L),
+        jnp.concatenate([-prior.Jte0, jnp.zeros(cfg.L)]),
+        m, (1.0 - m) * jnp.concatenate([act, jnp.zeros(cfg.L)]),
+        jnp.asarray(idx, jnp.int32), cfg)
 
-    # compact: node columns > k move one slot left, last node zeroed
+    # compact: node columns > k move one slot left, last node zeroed. The
+    # same permutation applied to H0's rows+cols and Jte0's entries updates
+    # the cached Gram products EXACTLY — no matmul.
     nd = cfg.N * ND
     lo, hi = k * ND, (k + 1) * ND
-    J0 = jnp.concatenate(
-        [J0[:, :lo], J0[:, hi:nd], jnp.zeros((D, ND)), J0[:, nd:]], axis=1)
+
+    def comp_cols(M):
+        return jnp.concatenate(
+            [M[:, :lo], M[:, hi:nd], jnp.zeros((M.shape[0], ND), M.dtype),
+             M[:, nd:]], axis=1)
+
+    J0 = comp_cols(J0)
+    H0 = comp_cols(comp_cols(H0).T)
+    nbp = -bp
+    Jte0 = jnp.concatenate([nbp[:lo], nbp[hi:nd], jnp.zeros(ND), nbp[nd:]])
     poses0 = jnp.concatenate(
         [prior.x0.poses[:k], prior.x0.poses[k + 1:],
          jnp.zeros((1, 7)).at[0, 6].set(1.0)], axis=0)
     mixes0 = jnp.concatenate(
         [prior.x0.mixes[:k], prior.x0.mixes[k + 1:], jnp.zeros((1, cfg.mix_dim))], axis=0)
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
-    return prior._replace(J0=J0, H0=J0.T @ J0, e0=e0, Jte0=J0.T @ e0, x0=x0)
+    return prior._replace(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=x0)
 
 
 def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     """Shift node slots left by ``shift`` after the window slides.
 
     Node-block columns of J0 (and the node entries of x0) roll left by
-    shift*NODE_DIM; vacated tail columns are zeroed. ext/td/landmark columns
-    are unchanged. ``shift`` may be a traced integer."""
+    shift*NODE_DIM; vacated tail columns are zeroed. ext/td columns are
+    unchanged. ``shift`` may be a traced integer. H0/Jte0 follow by the SAME
+    roll applied to H0's rows+cols and Jte0's entries — a column permutation
+    of J0 permutes the Gram matrix exactly, so the former J0ᵀJ0 recompute
+    (an NP³, previously 819³, software-f64 matmul per window slide) is
+    pure waste."""
     N = cfg.N
     ND = cfg.node_dim
     nd = N * ND
@@ -252,16 +286,20 @@ def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     keep = (jnp.arange(N) < (N - shift)).astype(prior.J0.dtype)
     keep_cols = jnp.repeat(keep, ND)
 
-    Jn = jnp.roll(prior.J0[:, :nd], -shift * ND, axis=1) * keep_cols[None, :]
-    J0 = jnp.concatenate([Jn, prior.J0[:, nd:]], axis=1)
+    def roll_cols(M):
+        Mn = jnp.roll(M[:, :nd], -shift * ND, axis=1) * keep_cols[None, :]
+        return jnp.concatenate([Mn, M[:, nd:]], axis=1)
+
+    J0 = roll_cols(prior.J0)
+    H0 = roll_cols(roll_cols(prior.H0).T)
+    Jte0 = jnp.concatenate(
+        [jnp.roll(prior.Jte0[:nd], -shift * ND) * keep_cols, prior.Jte0[nd:]])
 
     poses0 = jnp.roll(prior.x0.poses, -shift, axis=0)
     poses0 = jnp.where(keep[:, None] > 0, poses0, jnp.zeros_like(poses0).at[:, 6].set(1.0))
     mixes0 = jnp.roll(prior.x0.mixes, -shift, axis=0) * keep[:, None]
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
 
-    H0 = J0.T @ J0
-    Jte0 = J0.T @ prior.e0
     return prior._replace(J0=J0, H0=H0, Jte0=Jte0, x0=x0)
 
 
@@ -288,9 +326,17 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
             f"insert_node_slot_into_prior would drop nonzero prior columns "
             f"on the last node slot (max |J0|={tail:g}); caller must ensure "
             f"free capacity before inserting")
-    J0 = jnp.concatenate(
-        [prior.J0[:, :lo], jnp.zeros((prior.J0.shape[0], ND)),
-         prior.J0[:, lo : nd - ND], prior.J0[:, nd:]], axis=1)
+    def ins_cols(M):
+        return jnp.concatenate(
+            [M[:, :lo], jnp.zeros((M.shape[0], ND), M.dtype),
+             M[:, lo : nd - ND], M[:, nd:]], axis=1)
+
+    # same permutation on H0 rows+cols / Jte0 entries: exact, matmul-free
+    J0 = ins_cols(prior.J0)
+    H0 = ins_cols(ins_cols(prior.H0).T)
+    Jte0 = jnp.concatenate(
+        [prior.Jte0[:lo], jnp.zeros(ND), prior.Jte0[lo : nd - ND],
+         prior.Jte0[nd:]])
     poses0 = jnp.concatenate(
         [prior.x0.poses[:k], jnp.zeros((1, 7)).at[0, 6].set(1.0),
          prior.x0.poses[k : cfg.N - 1]], axis=0)
@@ -298,7 +344,7 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
         [prior.x0.mixes[:k], jnp.zeros((1, cfg.mix_dim)),
          prior.x0.mixes[k : cfg.N - 1]], axis=0)
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
-    return prior._replace(J0=J0, H0=J0.T @ J0, Jte0=J0.T @ prior.e0, x0=x0)
+    return prior._replace(J0=J0, H0=H0, Jte0=Jte0, x0=x0)
 
 
 def select_marg_factors(tables: FactorTables, cfg: WindowConfig, num_marg, oldest_kf_node):

@@ -724,6 +724,33 @@ class GvinsModel(GinsModel):
             self.vmap.remove_keyframe(oldest, remove_mappoints=True)
             return
 
+        # bound num_marg by CONSTRUCTION: a long keyframe gap with 1 Hz GNSS
+        # nodes can put the second keyframe beyond marg_cap (the structured
+        # Schur factors only the leading marg_cap node blocks). Pre-merge
+        # surplus interior GNSS nodes below the cut — their measurements at
+        # already-converged nodes carry negligible information vs the prior
+        # that absorbs their neighbors; the reference never hits this because
+        # Ceres marginalizes arbitrary counts (marginalization_info.h:232).
+        cap = self.est.wcfg.marg_cap
+        while num_marg > cap:
+            merged = False
+            for k in range(1, num_marg):
+                a = self.est.segments_np[k - 1]
+                b = self.est.segments_np[k]
+                if a is None or b is None:
+                    continue
+                na = int(np.sum(a["dt"] > 0)) + 1
+                nb = int(np.sum(b["dt"] > 0)) + 1
+                if na + nb - 1 > self.cfg.preint_samples:
+                    continue
+                self.est.merge_node(k)
+                merged = True
+                break
+            if not merged:
+                break  # estimator.marginalize raises with a clear message
+            num_marg = self.est._node_index_of_time(second.stamp)
+            oldest_node = self.est._node_index_of_time(oldest.stamp)
+
         # factor tables rebuilt at the CURRENT structure (node indices may
         # have shifted since the optimization episode's tables)
         tables, params = self._fresh_tables_and_params()

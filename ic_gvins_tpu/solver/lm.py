@@ -41,7 +41,7 @@ class SolveStats(NamedTuple):
     final_cost: jnp.ndarray
 
 
-def _schur_solve(Hss, Hsl, hll, b, mu_diag, cfg: WindowConfig):
+def _schur_solve(Hss, Hsl, hll, b, mu_diag, cfg: WindowConfig, f64: bool = False):
     """Solve (H + diag(mu_diag)) dx = b by eliminating the landmark block
     (diagonal by construction), on the block form of H.
 
@@ -50,7 +50,14 @@ def _schur_solve(Hss, Hsl, hll, b, mu_diag, cfg: WindowConfig):
     equilibrated (unit diagonal — condition number collapses, and the
     landmark block becomes exactly the identity), reduced and Cholesky-
     factorized in f32 on the MXU, then ONE f64 iterative-refinement pass
-    (a pair of f64 GEMVs) restores double-precision step accuracy."""
+    (a pair of f64 GEMVs) restores double-precision step accuracy.
+
+    ``f64``: factor the reduced system in f64 with a ~eps-level ridge —
+    the solver-oracle mode. The f32 factorization resolves directions down
+    to curvature ratio ~1/(kappa*eps32): beyond that (undamped window
+    problems reach kappa ~ 1e8) refinement against the 1e-6-ridged factor
+    stalls and LM creeps. Production never needs those last ~1e-8 of cost;
+    the oracle comparison does."""
     Ds = cfg.lm_off
     Hss = Hss + jnp.diag(mu_diag[:Ds])
     hll = hll + mu_diag[Ds:]
@@ -61,15 +68,17 @@ def _schur_solve(Hss, Hsl, hll, b, mu_diag, cfg: WindowConfig):
     Hsln = Hsl * (dS[:, None] * dL[None, :])
     bn = b * dinv
 
-    H32ss = Hssn.astype(jnp.float32)
-    H32sl = Hsln.astype(jnp.float32)
+    ft = jnp.float64 if f64 else jnp.float32
+    ridge = 1e-13 if f64 else 1e-6
+    H32ss = Hssn.astype(ft)
+    H32sl = Hsln.astype(ft)
     L = jnp.linalg.cholesky(
-        (H32ss - H32sl @ H32sl.T) + jnp.float32(1e-6) * jnp.eye(Ds, dtype=jnp.float32)
+        (H32ss - H32sl @ H32sl.T) + ft(ridge) * jnp.eye(Ds, dtype=ft)
     )
 
     def inner(r):
-        rs = r[:Ds].astype(jnp.float32)
-        rl = r[Ds:].astype(jnp.float32)
+        rs = r[:Ds].astype(ft)
+        rl = r[Ds:].astype(ft)
         ys = jax.scipy.linalg.cho_solve((L, True), rs - H32sl @ rl)
         yl = rl - H32sl.T @ ys
         return jnp.concatenate([ys, yl]).astype(jnp.float64)
@@ -84,12 +93,18 @@ def _schur_solve(Hss, Hsl, hll, b, mu_diag, cfg: WindowConfig):
 
 
 def solve(params: WindowParams, tables: FactorTables, cfg: WindowConfig, max_iterations: int,
-          radius0=1e4):
+          radius0=1e4, ftol=1e-6, precise: bool = False):
     """Run up to ``max_iterations`` LM steps; returns (params, stats, radius).
 
-    jit-safe; call under jit with cfg static."""
+    ``ftol`` is Ceres' function_tolerance (default 1e-6, Ceres' default —
+    solver.cc uses the same relative-decrease stop); the solver-oracle test
+    drives it to ~0 for machine-precision optima. ``precise`` runs cost and
+    assembly with f64 reprojection blocks AND factors the reduced system in
+    f64 (oracle test only — the production path keeps the measured-faster
+    f32+refinement design). jit-safe; call under jit with cfg/precise
+    static."""
 
-    init_cost = total_cost(params, tables, cfg)
+    init_cost = total_cost(params, tables, cfg, precise)
 
     def cond(carry):
         it, accepted, params, cost, radius, done = carry
@@ -97,16 +112,17 @@ def solve(params: WindowParams, tables: FactorTables, cfg: WindowConfig, max_ite
 
     def body(carry):
         it, accepted, params, cost, radius, done = carry
-        Hss, Hsl, hll, b, act = build_normal_blocks(params, tables, cfg)
+        Hss, Hsl, hll, b, act = build_normal_blocks(params, tables, cfg,
+                                                    reproj_f64=precise)
         Hss, Hsl, hll, b = apply_gauge_blocks(Hss, Hsl, hll, b, act, cfg)
         # Ceres: damping with the scaled diagonal, clamped
         diagH = jnp.clip(jnp.concatenate([jnp.diag(Hss), hll]), 1e-6, 1e32)
         mu = 1.0 / radius
-        dx = _schur_solve(Hss, Hsl, hll, b, mu * diagH, cfg)
+        dx = _schur_solve(Hss, Hsl, hll, b, mu * diagH, cfg, f64=precise)
         dx = dx * act
 
         candidate = params.boxplus(cfg, dx)
-        new_cost = total_cost(candidate, tables, cfg)
+        new_cost = total_cost(candidate, tables, cfg, precise)
         model_change = jnp.dot(dx, b) - 0.5 * jnp.dot(dx, block_matvec(Hss, Hsl, hll, dx, cfg))
         rho = (cost - new_cost) / jnp.where(model_change > 0, model_change, 1e-300)
 
@@ -122,7 +138,7 @@ def solve(params: WindowParams, tables: FactorTables, cfg: WindowConfig, max_ite
         # convergence: tiny step or tiny relative decrease (Ceres
         # function_tolerance-style, default 1e-6)
         step_small = jnp.max(jnp.abs(dx)) < 1e-12
-        decrease_small = ok & ((old_cost - new_cost) <= 1e-6 * old_cost)
+        decrease_small = ok & ((old_cost - new_cost) <= ftol * old_cost)
         done = step_small | decrease_small
         return (it + 1, accepted, params, cost, radius, done)
 

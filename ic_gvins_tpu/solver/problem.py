@@ -235,26 +235,33 @@ class PriorTable(NamedTuple):
 
 
 class MargPrior(NamedTuple):
-    """Linearized prior from marginalization: e = e0 + J0 (x ⊟ x0).
+    """Linearized prior from marginalization: e = e0 + J0 (x ⊟ x0)[:NP].
 
-    J0 columns follow the global local layout; columns of parameters absent
-    from the prior are identically zero (equivalent to the reference keeping
-    only 'remained' blocks, marginalization_factor.h:47-101)."""
+    Stored on its TRUE (NP = lm_off) support — node/ext/td columns only.
+    Marginalization removes every landmark its collected factors touch
+    (marginalization.select_marg_factors, matching ic_gvins.cc:1569-1610,
+    and priors chain inductively), so landmark columns are identically zero
+    and are never materialized; the former full-(D,D) storage made every
+    prior product a D³=819³ software-f64 matmul doing 19x the useful work.
+    Columns of non-landmark parameters absent from the prior are zero
+    (equivalent to the reference keeping only 'remained' blocks,
+    marginalization_factor.h:47-101)."""
 
-    J0: jnp.ndarray        # (D,D)
-    H0: jnp.ndarray        # (D,D) cached J0^T J0
-    e0: jnp.ndarray        # (D,)
-    Jte0: jnp.ndarray      # (D,) cached J0^T e0
+    J0: jnp.ndarray        # (NP,NP)
+    H0: jnp.ndarray        # (NP,NP) cached J0^T J0
+    e0: jnp.ndarray        # (NP,)
+    Jte0: jnp.ndarray      # (NP,) cached J0^T e0
     x0: WindowParams       # linearization point
     valid: jnp.ndarray     # ()
 
     @staticmethod
     def empty(cfg):
+        NP = cfg.lm_off
         return MargPrior(
-            J0=jnp.zeros((cfg.D, cfg.D)),
-            H0=jnp.zeros((cfg.D, cfg.D)),
-            e0=jnp.zeros(cfg.D),
-            Jte0=jnp.zeros(cfg.D),
+            J0=jnp.zeros((NP, NP)),
+            H0=jnp.zeros((NP, NP)),
+            e0=jnp.zeros(NP),
+            Jte0=jnp.zeros(NP),
             x0=WindowParams.zeros(cfg),
             valid=jnp.zeros(()),
         )
@@ -328,7 +335,7 @@ def _imu_error_fns(cfg: WindowConfig):
     return basic.imu_error_residual, basic.imu_error_jacobian
 
 
-def _reproj_inputs32(params, t: ReprojTable):
+def _reproj_inputs32(params, t: ReprojTable, dtype=jnp.float32):
     """Translation-re-centered f32 inputs for the reprojection factor.
 
     The factor is invariant to a common translation of both poses, so the
@@ -337,8 +344,12 @@ def _reproj_inputs32(params, t: ReprojTable):
     digits), then everything runs in f32: whitened reprojection residuals
     are O(1 px) with pixel-level noise, f32 keeps them to ~1e-6 px, and f64
     vector math is software-emulated on the TPU VPU — the factor table is
-    the largest per-iteration evaluation in the backend."""
-    f32 = jnp.float32
+    the largest per-iteration evaluation in the backend.
+
+    ``dtype=jnp.float64`` keeps the whole evaluation in f64 — used by the
+    marginalization path, where the assembled H becomes the prior itself and
+    f32 noise would exceed the relative ridge (see marginalize())."""
+    f32 = dtype
     pose0 = params.poses[t.ref_idx]
     pose1 = params.poses[t.obs_idx]
     dp = (pose0[:, :3] - pose1[:, :3]).astype(f32)
@@ -351,18 +362,19 @@ def _reproj_inputs32(params, t: ReprojTable):
     return pose0_32, pose1_32, inv, ext, td, obs, jnp.asarray(t.sqrt_info, f32)
 
 
-def _reproj_residuals(params, t: ReprojTable):
-    pose0, pose1, inv, ext, td, obs, sqi = _reproj_inputs32(params, t)
+def _reproj_residuals(params, t: ReprojTable, dtype=jnp.float32):
+    pose0, pose1, inv, ext, td, obs, sqi = _reproj_inputs32(params, t, dtype)
     fn = lambda p0, p1, iv, a, b, c, d, e, f: reprojection.residual(
         p0, p1, ext, iv, td, a, b, c, d, e, f, sqi
     )
-    return jax.vmap(fn)(pose0, pose1, inv, *obs)  # (R,2) f32
+    return jax.vmap(fn)(pose0, pose1, inv, *obs)  # (R,2) in ``dtype``
 
 
-def _reproj_blocks(params, t: ReprojTable, ext_active, td_active):
-    """Robust-corrected f32 (r (R,2), Jcat (R,2,20)) for the reprojection
+def _reproj_blocks(params, t: ReprojTable, ext_active, td_active,
+                   dtype=jnp.float32):
+    """Robust-corrected (r (R,2), Jcat (R,2,20)) for the reprojection
     table; column order [pose_ref 6, pose_obs 6, ext 6, invdepth 1, td 1]."""
-    pose0, pose1, inv, ext, td, obs, sqi = _reproj_inputs32(params, t)
+    pose0, pose1, inv, ext, td, obs, sqi = _reproj_inputs32(params, t, dtype)
     rr = jax.vmap(
         lambda p0, p1, iv, a, b, c, d, e, f: reprojection.residual(
             p0, p1, ext, iv, td, a, b, c, d, e, f, sqi)
@@ -372,8 +384,8 @@ def _reproj_blocks(params, t: ReprojTable, ext_active, td_active):
             p0, p1, ext, iv, td, a, b, c, d, e, f, sqi)
     )(pose0, pose1, inv, *obs)
     # column gating for fixed extrinsic/td
-    Jer = Jer * ext_active.astype(jnp.float32)
-    Jtdr = Jtdr * td_active.astype(jnp.float32)
+    Jer = Jer * ext_active.astype(dtype)
+    Jtdr = Jtdr * td_active.astype(dtype)
     Jcat = jnp.concatenate([J0r, J1r, Jer, Jidr, Jtdr], axis=-1)  # (R,2,20)
     return correct_blocks(rr, Jcat, t.robust > 0)
 
@@ -387,8 +399,13 @@ def chi2_blocks(params, tables: FactorTables, cfg: WindowConfig):
     return jnp.sum(rg * rg, axis=-1), jnp.sum(rr * rr, axis=-1)
 
 
-def total_cost(params, tables: FactorTables, cfg: WindowConfig):
-    """Robustified total cost 0.5 * sum rho(|r|^2) over valid factors."""
+def total_cost(params, tables: FactorTables, cfg: WindowConfig,
+               reproj_f64: bool = False):
+    """Robustified total cost 0.5 * sum rho(|r|^2) over valid factors.
+
+    ``reproj_f64``: evaluate the reprojection residuals in f64 instead of
+    the production f32 (used by the solver-oracle test to compare optima at
+    machine precision; see _reproj_inputs32 for why f32 is the default)."""
     rg = _gnss_residuals(params, tables.gnss, tables.antlever)
     sg = jnp.sum(rg * rg, axis=-1)
     rho_g, _, _ = huber_rho(sg)
@@ -398,7 +415,8 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig):
     rp = _preint_residuals(params, tables.preint, cfg)
     cost += 0.5 * jnp.sum(jnp.sum(rp * rp, axis=-1) * tables.preint.valid)
 
-    rr = _reproj_residuals(params, tables.reproj)
+    rr = _reproj_residuals(params, tables.reproj,
+                           jnp.float64 if reproj_f64 else jnp.float32)
     sr = jnp.sum(rr * rr, axis=-1)
     rho_r, _, _ = huber_rho(sr)
     rho_r = jnp.where(tables.reproj.robust > 0, rho_r, sr)
@@ -414,8 +432,8 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig):
     rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
     cost += 0.5 * tables.prior.valid * (jnp.sum(rpp * rpp) + jnp.sum(rmp * rmp))
 
-    # marginalization prior
-    dx = params.boxminus(cfg, tables.marg.x0)
+    # marginalization prior (landmark-free: NP support only)
+    dx = params.boxminus(cfg, tables.marg.x0)[: cfg.lm_off]
     rm = tables.marg.e0 + tables.marg.J0 @ dx
     cost += 0.5 * tables.marg.valid * jnp.sum(rm * rm)
     return cost
@@ -582,20 +600,28 @@ def build_normal_equations(params, tables: FactorTables, cfg: WindowConfig):
     b = b.at[sl].add(-pv * (Jmp.T @ rmp))
 
     # ---- marginalization prior (exact tangent chaining, see
-    # _marg_rot_correction) ----
+    # _marg_rot_correction; landmark-free — NP support only) ----
     mv = tables.marg.valid
-    dx0 = params.boxminus(cfg, tables.marg.x0)
+    NP = cfg.lm_off
+    dx0 = params.boxminus(cfg, tables.marg.x0)[:NP]
     rc, C = _marg_rot_correction(dx0, cfg)
     grad_lin = tables.marg.Jte0 + tables.marg.H0 @ dx0
-    H = H + mv * _dxT_rows(_dx_cols(tables.marg.H0, rc, C), rc, C)
-    b = b - mv * _dxT_vec(grad_lin, rc, C)
+    H = H.at[:NP, :NP].add(mv * _dxT_rows(_dx_cols(tables.marg.H0, rc, C), rc, C))
+    b = b.at[:NP].add(-mv * _dxT_vec(grad_lin, rc, C))
 
     return H, b, column_activity(tables, cfg)
 
 
-def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
+def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig,
+                        reproj_f64: bool = False):
     """Assemble the normal equations in BLOCK form for the LM hot loop:
     returns (Hss (Ds,Ds), Hsl (Ds,L), hll (L,), b (D,), act (D,)).
+
+    ``reproj_f64``: evaluate + contract the reprojection blocks in f64 —
+    used by the marginalization path only, where H becomes the prior itself
+    and f32 assembly noise (~1e-7 relative) would exceed the 1e-9 relative
+    ridge (see marginalization.marginalize). The LM hot loop keeps f32: H
+    only preconditions the step and the loop re-evaluates the true f64 cost.
 
     Same math as ``build_normal_equations`` but sized for the solver's Schur
     structure and assembled WITHOUT any data-dependent scatter: XLA:TPU
@@ -685,11 +711,13 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
         jnp.concatenate([Jtr[:, :ND], z1r]) + jnp.concatenate([z1r, Jtr[:, ND:]]))
 
     # ---- reprojection (2 res, 20 cols) — f32 evaluation (see
-    # _reproj_inputs32) + one-hot MXU contractions ----
+    # _reproj_inputs32; f64 on the marg path) + one-hot MXU contractions ----
+    ft = f64 if reproj_f64 else f32
     t = tables.reproj
-    rr, Jcat = _reproj_blocks(params, t, tables.ext_active, tables.td_active)
+    rr, Jcat = _reproj_blocks(params, t, tables.ext_active, tables.td_active,
+                              dtype=ft)
     w = t.valid  # binary mask
-    w32 = w.astype(f32)
+    w32 = w.astype(ft)
 
     JA = Jcat[:, :, 0:6] * w32[:, None, None]          # ref pose (weighted side)
     JB = Jcat[:, :, 6:12]                              # obs pose
@@ -698,16 +726,16 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
     JBw = JB * w32[:, None, None]
     JCw = JC * w32[:, None, None]
 
-    oh_ref = (t.ref_idx[:, None] == jnp.arange(N)).astype(f32)   # (R,N)
-    oh_obs = (t.obs_idx[:, None] == jnp.arange(N)).astype(f32)
-    oh_pair = ((t.ref_idx * N + t.obs_idx)[:, None] == jnp.arange(N * N)).astype(f32)
-    oh_lm = (t.lm_idx[:, None] == jnp.arange(L)).astype(f32)     # (R,L)
+    oh_ref = (t.ref_idx[:, None] == jnp.arange(N)).astype(ft)   # (R,N)
+    oh_obs = (t.obs_idx[:, None] == jnp.arange(N)).astype(ft)
+    oh_pair = ((t.ref_idx * N + t.obs_idx)[:, None] == jnp.arange(N * N)).astype(ft)
+    oh_lm = (t.lm_idx[:, None] == jnp.arange(L)).astype(ft)     # (R,L)
 
-    P_AA = _jtj(JA, Jcat[:, :, 0:6]).reshape(R, 36).astype(f32)
-    P_BB = _jtj(JBw, JB).reshape(R, 36).astype(f32)
-    P_AB = _jtj(JA, JB).reshape(R, 36).astype(f32)
-    P_AC = _jtj(JA, JC).reshape(R, 42).astype(f32)
-    P_BC = _jtj(JBw, JC).reshape(R, 42).astype(f32)
+    P_AA = _jtj(JA, Jcat[:, :, 0:6]).reshape(R, 36).astype(ft)
+    P_BB = _jtj(JBw, JB).reshape(R, 36).astype(ft)
+    P_AB = _jtj(JA, JB).reshape(R, 36).astype(ft)
+    P_AC = _jtj(JA, JC).reshape(R, 42).astype(ft)
+    P_BC = _jtj(JBw, JC).reshape(R, 42).astype(ft)
     CC = jnp.sum(JCw[:, :, :, None] * JC[:, :, None, :], axis=(0, 1)).astype(f64)
 
     AA = (oh_ref.T @ P_AA).reshape(N, 6, 6).astype(f64)
@@ -777,15 +805,13 @@ def build_normal_blocks(params, tables: FactorTables, cfg: WindowConfig):
 
     # ---- marginalization prior (exact tangent chaining, see
     # _marg_rot_correction; all rotation tangents live in the state block,
-    # the landmark tangent map is identity) ----
+    # and the prior is landmark-free — it lands entirely in Hss/b[:Ds]) ----
     mv = tables.marg.valid
-    dx0 = params.boxminus(cfg, tables.marg.x0)
+    dx0 = params.boxminus(cfg, tables.marg.x0)[:Ds]
     rc, C = _marg_rot_correction(dx0, cfg)
     grad_lin = tables.marg.Jte0 + tables.marg.H0 @ dx0
-    Hss = Hss + mv * _dxT_rows(_dx_cols(tables.marg.H0[:Ds, :Ds], rc, C), rc, C)
-    Hsl = Hsl + mv * _dxT_rows(tables.marg.H0[:Ds, Ds:], rc, C)
-    hll = hll + mv * jnp.diag(tables.marg.H0)[Ds:]
-    b = b - mv * _dxT_vec(grad_lin, rc, C)
+    Hss = Hss + mv * _dxT_rows(_dx_cols(tables.marg.H0, rc, C), rc, C)
+    b = b - mv * jnp.concatenate([_dxT_vec(grad_lin, rc, C), jnp.zeros(L)])
 
     return Hss, Hsl, hll, b, column_activity(tables, cfg)
 

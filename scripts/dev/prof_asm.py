@@ -177,13 +177,11 @@ def marg_stage(params):
     hll = jnp.zeros(cfg.L)
     b = jnp.zeros(cfg.D)
     mv = tables.marg.valid
-    dx0 = params.boxminus(cfg, tables.marg.x0)
+    dx0 = params.boxminus(cfg, tables.marg.x0)[:Ds]
     rc, C = _marg_rot_correction(dx0, cfg)
     grad_lin = tables.marg.Jte0 + tables.marg.H0 @ dx0
-    Hss = Hss + mv * _dxT_rows(_dx_cols(tables.marg.H0[:Ds, :Ds], rc, C), rc, C)
-    Hsl = Hsl + mv * _dxT_rows(tables.marg.H0[:Ds, Ds:], rc, C)
-    hll = hll + mv * jnp.diag(tables.marg.H0)[Ds:]
-    b = b - mv * _dxT_vec(grad_lin, rc, C)
+    Hss = Hss + mv * _dxT_rows(_dx_cols(tables.marg.H0, rc, C), rc, C)
+    b = b - mv * jnp.concatenate([_dxT_vec(grad_lin, rc, C), jnp.zeros(cfg.L)])
     return jnp.sum(Hss) + jnp.sum(Hsl) + jnp.sum(hll) + jnp.sum(b)
 
 

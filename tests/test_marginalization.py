@@ -99,8 +99,13 @@ def test_prior_matches_schur_complement():
     bp = (b * r) - Hrm @ (Hmm_inv @ (b * m))
 
     scale = max(np.abs(Hp).max(), 1.0)
-    np.testing.assert_allclose(np.asarray(prior.H0), Hp, atol=1e-6 * scale)
-    np.testing.assert_allclose(np.asarray(prior.Jte0), -np.asarray(bp), atol=1e-6)
+    # the prior lives on its (NP,NP) node/ext/td support; the landmark
+    # rows/cols of the dense-path Schur complement must be empty
+    NP = CFG.lm_off
+    assert np.abs(Hp[NP:, :]).max() <= 1e-9 * scale
+    assert np.abs(np.asarray(bp)[NP:]).max() <= 1e-9
+    np.testing.assert_allclose(np.asarray(prior.H0), Hp[:NP, :NP], atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(prior.Jte0), -np.asarray(bp)[:NP], atol=1e-6)
 
 
 def test_sliding_window_equivalence():
@@ -251,16 +256,16 @@ def test_drop_node_from_prior_preserves_marginal():
     assert float(jnp.abs(pr2.J0[:, nd - 15 : nd]).max()) == 0.0
     np.testing.assert_allclose(np.asarray(pr2.x0.poses[k]), np.asarray(prior.x0.poses[k + 1]))
 
-    J0 = np.asarray(prior.J0)
+    J0 = np.asarray(prior.J0)  # (NP,NP) compact support
     e0 = np.asarray(prior.e0)
+    NP = CFG.lm_off
     Jk = J0[:, k * 15 : (k + 1) * 15]
     rng = np.random.default_rng(11)
     for _ in range(3):
         # random step on the compacted coordinates, embedded into the
         # original layout with node k minimized out
-        dxc = rng.normal(0, 0.05, CFG.D)
-        dxc[nd - 15 :] = dxc[nd - 15 : CFG.D]  # arbitrary; tail node unused
-        dxo = np.zeros(CFG.D)
+        dxc = rng.normal(0, 0.05, NP)
+        dxo = np.zeros(NP)
         dxo[: k * 15] = dxc[: k * 15]
         dxo[(k + 1) * 15 : nd] = dxc[k * 15 : nd - 15]
         dxo[nd:] = dxc[nd:]

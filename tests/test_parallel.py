@@ -46,3 +46,127 @@ def test_sharded_matches_single():
         np.testing.assert_allclose(c_shard, c_ref, rtol=5e-3, atol=1e-9)
     # actually sharded over the mesh
     assert len(out_params.poses.sharding.device_set) == n_dev
+
+
+def test_sharded_frontend_matches_single():
+    """The FULL frontend frame (CLAHE + pyramids + bidirectional LK +
+    RANSAC + detection + subpixel) sharded over 8 worlds: each shard must
+    reproduce its own single-device frame."""
+    n_dev = len(jax.devices())
+    H, W, F = 120, 160, 64
+    m = pmesh.make_mesh()
+    jitted, place = pmesh.sharded_frontend(
+        m, (H, W), levels=3, block=(2, 2, 4), min_distance=5)
+
+    rng = np.random.default_rng(5)
+    # smooth-ish distinct worlds: random blobs + a 2px shift as the motion
+    base = rng.uniform(0, 255, (n_dev, H + 8, W + 8)).astype(np.float32)
+    for _ in range(2):  # crude blur so LK has gradients, not pixel noise
+        base = 0.25 * (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)
+                       + np.roll(base, -1, 1))
+    img_prev = jnp.asarray(base[:, 4:H + 4, 4:W + 4])
+    img_cur = jnp.asarray(base[:, 2:H + 2, 1:W + 1])  # shift (2,3)
+    pts = jnp.asarray(rng.uniform(20, 100, (n_dev, F, 2)), jnp.float32)
+    valid = jnp.ones((n_dev, F), bool)
+
+    args = place((img_prev, img_cur, pts, valid))
+    nxt, ok, corners, cvalid = jax.block_until_ready(jitted(*args))
+    assert len(nxt.sharding.device_set) == n_dev
+
+    frame1 = jax.jit(pmesh.frontend_frame_fn(
+        (H, W), levels=3, block=(2, 2, 4), min_distance=5))
+    for k in (0, n_dev // 2, n_dev - 1):
+        rn, ro, rc, rv = frame1(img_prev[k], img_cur[k], pts[k], valid[k])
+        np.testing.assert_array_equal(np.asarray(ok[k]), np.asarray(ro))
+        good = np.asarray(ro)
+        np.testing.assert_allclose(np.asarray(nxt[k])[good],
+                                   np.asarray(rn)[good], atol=0.05)
+        np.testing.assert_array_equal(np.asarray(cvalid[k]), np.asarray(rv))
+        gv = np.asarray(rv) > 0
+        np.testing.assert_allclose(np.asarray(corners[k])[gv],
+                                   np.asarray(rc)[gv], atol=0.5)
+    # tracks must actually track the (3,2)-px shift for most features
+    shift = np.asarray(nxt[0]) - np.asarray(pts[0])
+    moved = np.asarray(ok[0])
+    assert moved.sum() > F // 3
+    med = np.median(shift[moved], axis=0)
+    np.testing.assert_allclose(med, [3.0, 2.0], atol=0.3)
+
+
+def test_sharded_marginalization_matches_single():
+    """One full marginalization event (select + structured Schur + shift)
+    per world, sharded: shard k == its own single-device event."""
+    n_dev = len(jax.devices())
+    cfg = WindowConfig(N=4, L=16, G=4, R=32, with_earth=False)
+    params_b, tables_b = ge._make_problem(cfg, batch=n_dev, seed=21)
+
+    m = pmesh.make_mesh()
+    jitted, place = pmesh.sharded_marg_step(m, cfg)
+    prior_b = jax.block_until_ready(jitted(place(params_b), place(tables_b)))
+    assert len(prior_b.H0.sharding.device_set) == n_dev
+
+    from ic_gvins_tpu.factors import marginalization as marg
+
+    @jax.jit
+    def one(params, tables):
+        mt, mask, _ = marg.select_marg_factors(tables, cfg, 1, 0)
+        return marg.shift_prior(marg.marginalize(params, mt, mask, cfg), cfg, 1)
+
+    for k in (0, n_dev - 1):
+        p1, t1 = ge._make_problem(cfg, seed=21 + k)
+        ref = one(p1, t1)
+        scale = max(float(jnp.abs(ref.H0).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(prior_b.H0[k]),
+                                   np.asarray(ref.H0), atol=1e-8 * scale)
+        np.testing.assert_allclose(np.asarray(prior_b.Jte0[k]),
+                                   np.asarray(ref.Jte0), atol=1e-8 * scale)
+        np.testing.assert_allclose(np.asarray(prior_b.e0[k]),
+                                   np.asarray(ref.e0), atol=1e-7)
+
+
+def test_sharded_ins_matches_single():
+    """Per-world preintegration + mechanization sharded over the mesh."""
+    from ic_gvins_tpu.core.types import ImuBatch, IntegrationParams, NavState
+    from ic_gvins_tpu.ins import mechanization as mech
+    from ic_gvins_tpu.ins import preintegration as pre
+
+    n_dev = len(jax.devices())
+    S = 64
+    int_params = IntegrationParams.default()
+    rng = np.random.default_rng(9)
+
+    def mk_imu(b):
+        return ImuBatch(
+            time=jnp.asarray(np.tile(np.arange(1, S + 1) * 0.005, (b, 1))),
+            dt=jnp.asarray(np.tile(np.full(S, 0.005), (b, 1))),
+            dtheta=jnp.asarray(rng.normal(0, 1e-4, (b, S, 3))),
+            dvel=jnp.asarray(rng.normal(0.016, 1e-3, (b, S, 3))),
+            odovel=jnp.zeros((b, S)),
+        )
+
+    imu_b = mk_imu(n_dev)
+    st_b = jax.vmap(lambda p: NavState.identity()._replace(p=p))(
+        jnp.asarray(rng.normal(0, 1, (n_dev, 3))))
+    gravity = jnp.asarray(np.tile([0.0, 0.0, 9.8], (n_dev, 1)))
+    iewn = jnp.asarray(rng.normal(0, 1e-5, (n_dev, 3)))
+
+    m = pmesh.make_mesh()
+    jitted, place = pmesh.sharded_ins_step(m, int_params, with_earth=True)
+    summ_b, out_b = jax.block_until_ready(
+        jitted(*place((imu_b, st_b, gravity, iewn))))
+    assert len(out_b.p.sharding.device_set) == n_dev
+
+    for k in (0, n_dev - 1):
+        imu1 = jax.tree_util.tree_map(lambda a: a[k], imu_b)
+        st1 = jax.tree_util.tree_map(lambda a: a[k], st_b)
+        ref_s = pre.preintegrate(int_params, imu1, st1, with_earth=True)
+        mcfg = mech.MechConfig(gravity=gravity[k], iewn=iewn[k], iswithearth=True)
+        ref_m, _ = mech.mechanize_scan(mcfg, st1, imu1)
+        np.testing.assert_allclose(np.asarray(summ_b.dp[k]),
+                                   np.asarray(ref_s.dp), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(summ_b.dq[k]),
+                                   np.asarray(ref_s.dq), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out_b.p[k]),
+                                   np.asarray(ref_m.p), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out_b.q[k]),
+                                   np.asarray(ref_m.q), atol=1e-12)

@@ -1,0 +1,186 @@
+"""Independent solver oracle: our LM+Schur sliding-window solver vs
+scipy.optimize.least_squares on the IDENTICAL nonlinear least squares.
+
+The north-star claim is Ceres parity (ATE within 1% of the reference's
+Ceres baseline, ic_gvins.cc:1130-1239). Ceres/urban38 don't exist in this
+environment, so this is the machine-precision substitute: export one window
+problem (params + factor tables), minimize the same stacked residual with
+an INDEPENDENT optimizer (scipy trust-region-reflective over the fixed
+tangent chart, jacobians by jax.jacfwd — independent of both our LM
+machinery and the handwritten analytic jacobians in factors/*), and require
+the two optima to agree to ~1e-8 relative in cost and ~1e-6 in state.
+
+This cross-checks, end to end: analytic factor jacobians (autodiff vs
+handwritten), block normal-equation assembly, gauge handling, the f32+
+refinement Schur solve, trust-region control, and boxplus retraction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import __graft_entry__ as graft
+from ic_gvins_tpu.factors import basic
+from ic_gvins_tpu.solver import lm, problem
+from ic_gvins_tpu.solver.problem import WindowConfig
+
+CFG = WindowConfig(N=5, L=24, G=8, R=96, with_earth=False)
+
+
+def _plain_nlls_problem(seed=1):
+    """Synthetic window with robust kernels OFF (plain least squares: both
+    optimizers must then share the exact objective)."""
+    params, tables = graft._make_problem(CFG, seed=seed)
+    tables = tables._replace(
+        gnss=tables.gnss._replace(robust=jnp.zeros(())),
+        reproj=tables.reproj._replace(robust=jnp.zeros(())),
+    )
+    # start both solvers from the same perturbed state
+    rng = np.random.default_rng(3)
+    n_act = int(np.sum(np.asarray(tables.node_valid)))
+    dpos = np.zeros((CFG.N, 3))
+    dpos[:n_act] = rng.normal(0.0, 0.05, (n_act, 3))
+    init = params._replace(
+        poses=params.poses.at[:, :3].add(jnp.asarray(dpos)),
+        invdepths=params.invdepths + jnp.asarray(rng.normal(0, 0.005, CFG.L)),
+    )
+    return init, tables
+
+
+def _residual_stack_fn(init, tables, idx):
+    """f64 stacked whitened residual (same factor definitions the production
+    assembly uses; reprojection in f64 via the marg-path dtype switch so
+    finite-precision noise doesn't limit the comparison).
+
+    Returns (stack_params(p), stack(dx_active)): the oracle minimizes over
+    the FIXED tangent chart at ``init`` (dx embedding the active columns);
+    costs are compared via stack_params directly on each solver's params —
+    NOT by round-tripping ours through boxminus, whose reference-parity
+    small-angle 2*vec(q) differs from the exact log cubically."""
+    from ic_gvins_tpu.factors import reprojection
+
+    imuerr_res, _ = problem._imu_error_fns(CFG)
+    idx = jnp.asarray(idx, jnp.int32)
+
+    def stack_params(p):
+        rg = problem._gnss_residuals(p, tables.gnss, tables.antlever)
+        rg = rg * tables.gnss.valid[:, None]
+        rp = problem._preint_residuals(p, tables.preint, CFG)
+        rp = rp * tables.preint.valid[:, None]
+        # plain (non-robust) f64 reprojection residuals, straight from the
+        # factor — NOT through correct_blocks: autodiff through the unused
+        # Huber branch hits d/dr sqrt(|r|^2)=NaN on padded zero-residual rows
+        pose0, pose1, inv, ext, td, obs, sqi = problem._reproj_inputs32(
+            p, tables.reproj, dtype=jnp.float64)
+        rr = jax.vmap(
+            lambda p0, p1, iv, a, b, c, d, e, f: reprojection.residual(
+                p0, p1, ext, iv, td, a, b, c, d, e, f, sqi)
+        )(pose0, pose1, inv, *obs)
+        rr = rr * tables.reproj.valid[:, None]
+        re = imuerr_res(p.mixes[tables.prior.imuerr_idx]) * tables.prior.imuerr_valid
+        rpp = basic.pose_prior_residual(
+            p.poses[0], tables.prior.pose_prior, tables.prior.pose_prior_std)
+        rmp = basic.mix_prior_residual(
+            p.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
+        rpr = jnp.concatenate([rpp, rmp]) * tables.prior.valid
+        dm = p.boxminus(CFG, tables.marg.x0)[: CFG.lm_off]
+        rm = (tables.marg.e0 + tables.marg.J0 @ dm) * tables.marg.valid
+        return jnp.concatenate(
+            [rg.ravel(), rp.ravel(), rr.ravel().astype(jnp.float64), re, rpr, rm])
+
+    def stack(dx_active):
+        dx = jnp.zeros(CFG.D).at[idx].set(dx_active)
+        return stack_params(init.boxplus(CFG, dx))
+
+    return stack_params, stack
+
+
+@pytest.mark.slow
+def test_lm_solver_matches_scipy_oracle():
+    from scipy.optimize import least_squares
+
+    init, tables = _plain_nlls_problem()
+    act = np.asarray(problem.column_activity(tables, CFG))
+    idx = np.where(act > 0)[0]
+
+    stack_params, stack = _residual_stack_fn(init, tables, idx)
+    res_jit = jax.jit(stack)
+    jac_jit = jax.jit(jax.jacfwd(stack))
+    cost_params = jax.jit(lambda p: 0.5 * jnp.sum(stack_params(p) ** 2))
+
+    # ---- ours: LM to deep convergence (restart past the 1e-6 early-out) ----
+    @jax.jit
+    def ours(p):
+        # ftol→0: run past Ceres' default 1e-6 function_tolerance so the
+        # comparison measures the OPTIMUM, not the early-out threshold.
+        # precise: f64 objective + f64 reduced solve — the production f32
+        # path's optimum sits ~1e-7 relative away (f32 Cholesky cannot
+        # resolve curvature ratios beyond ~1/(kappa*eps32); this problem's
+        # undamped Schur complement reaches kappa ~ 1.6e8)
+        for _ in range(4):
+            p, stats, _ = lm.solve(p, tables, CFG, 60, ftol=1e-16,
+                                   precise=True)
+        return p, stats
+
+    p_ours, stats = ours(init)
+    cost_ours = float(cost_params(p_ours))
+
+    # ---- oracle: scipy TRF on the identical stacked residual ----
+    sol = least_squares(
+        lambda x: np.asarray(res_jit(jnp.asarray(x))),
+        x0=np.zeros(len(idx)),
+        jac=lambda x: np.asarray(jac_jit(jnp.asarray(x))),
+        method="trf", xtol=1e-15, ftol=1e-15, gtol=1e-12, max_nfev=400,
+    )
+    cost_oracle = 0.5 * float(np.sum(sol.fun**2))
+
+    # cost agreement ~1e-8 relative (both found the same optimum)
+    denom = max(cost_oracle, 1e-12)
+    assert abs(cost_ours - cost_oracle) <= 1e-8 * denom, (
+        f"cost mismatch: ours={cost_ours!r} oracle={cost_oracle!r} "
+        f"rel={(cost_ours - cost_oracle) / denom:.3e}")
+    # ours must never be worse beyond rounding (oracle could stall, we
+    # cannot)
+    assert cost_ours <= cost_oracle * (1.0 + 1e-8)
+
+    # state agreement on the active coordinates. Tangent-space comparison
+    # covers poses (incl. rotations), velocities, biases, and invdepths.
+    p_oracle = init.boxplus(CFG, jnp.zeros(CFG.D).at[jnp.asarray(idx)].set(
+        jnp.asarray(sol.x)))
+    dstate = np.asarray(p_ours.boxminus(CFG, p_oracle))[idx]
+    scale = 1.0 + np.abs(np.asarray(sol.x))
+    # the gate is conditioning-limited, not solver-limited: along the
+    # weakest direction (undamped Schur kappa ~ 1.6e8, lambda_min ~ 2.5e-8
+    # equilibrated) a 1e-9-level cost agreement only pins the state to
+    # ~sqrt(2*delta/lambda_min) ~ 1e-5; strong directions agree to ~1e-10
+    assert np.max(np.abs(dstate) / scale) < 1e-5, (
+        f"state mismatch: max rel tangent diff {np.max(np.abs(dstate) / scale):.3e}")
+
+    # sanity: the solvers actually moved (the perturbation was real)
+    assert float(cost_params(init)) > 10.0 * cost_oracle
+
+
+def test_normal_equations_match_autodiff_gradient():
+    """b = -J^T r: the assembled gradient must equal the autodiff gradient
+    of the (non-robust) total cost at machine precision — a direct check of
+    every handwritten jacobian block feeding the production assembly."""
+    init, tables = _plain_nlls_problem(seed=2)
+    act = np.asarray(problem.column_activity(tables, CFG))
+    idx = np.where(act > 0)[0]
+    _, stack = _residual_stack_fn(init, tables, idx)
+
+    def cost(dx_active):
+        r = stack(dx_active)
+        return 0.5 * jnp.sum(r * r)
+
+    g_auto = np.asarray(jax.jit(jax.grad(cost))(jnp.zeros(len(idx))))
+
+    Hss, Hsl, hll, b, _ = jax.jit(
+        lambda p: problem.build_normal_blocks(p, tables, CFG))(init)
+    g_asm = -np.asarray(b)[idx]
+
+    scale = max(np.max(np.abs(g_auto)), 1.0)
+    # f32 reprojection assembly bounds the agreement (the LM loop
+    # re-evaluates the true f64 cost, so f32 here only preconditions)
+    np.testing.assert_allclose(g_asm, g_auto, atol=2e-5 * scale, rtol=0)
