@@ -65,10 +65,11 @@ def _sym3_smallest_eigvec(M):
     cross products), elementwise throughout."""
     m00, m11, m22 = M[..., 0, 0], M[..., 1, 1], M[..., 2, 2]
     m01, m02, m12 = M[..., 0, 1], M[..., 0, 2], M[..., 1, 2]
+    tiny = jnp.finfo(M.dtype).tiny  # dtype-safe floor (1e-300 flushes to 0 in f32)
     q = (m00 + m11 + m22) / 3.0
     p1 = m01 * m01 + m02 * m02 + m12 * m12
     p2 = (m00 - q) ** 2 + (m11 - q) ** 2 + (m22 - q) ** 2 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-300))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, tiny))
     d0, d1, d2 = (m00 - q) / p, (m11 - q) / p, (m22 - q) / p
     b01, b02, b12 = m01 / p, m02 / p, m12 / p
     detB = (
@@ -91,7 +92,7 @@ def _sym3_smallest_eigvec(M):
     nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
     # isotropic fallback (p ~ 0): any direction is an eigenvector
     e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
-    return jnp.where(nv > 1e-30, v / jnp.maximum(nv, 1e-300), e0)
+    return jnp.where(nv > 1e-30, v / jnp.maximum(nv, tiny), e0)
 
 
 def _eight_point(p0, p1):
@@ -129,12 +130,21 @@ def fundamental_ransac(pts0, pts1, valid, threshold, num_hyp=256, seed=0):
 
     pts0/pts1: (N,2) undistorted pixels; valid: (N,) 0/1;
     threshold: inlier threshold in pixels (reprojection_error_std).
-    Returns (inlier_mask (N,) bool, best_inlier_count)."""
+    Returns (inlier_mask (N,) bool, best_inlier_count).
+
+    Everything after Hartley normalization runs in f32: normalized
+    coordinates are O(1), the vote only compares Sampson distances against
+    a pixel-scale threshold, and the argmax winner needs no more than ~3
+    significant digits — while f64 vector math is software-emulated on the
+    TPU VPU (the f64 einsum/Gauss-Jordan pipeline was the most expensive
+    part of the frontend frame after LK)."""
     N = pts0.shape[0]
     validb = valid > 0
 
     n0, T0 = _normalize(pts0, valid)
     n1, T1 = _normalize(pts1, valid)
+    n0 = n0.astype(jnp.float32)
+    n1 = n1.astype(jnp.float32)
 
     key = jax.random.PRNGKey(seed)
     # sample hypothesis index sets biased to valid entries: draw from the
@@ -147,13 +157,13 @@ def fundamental_ransac(pts0, pts1, valid, threshold, num_hyp=256, seed=0):
 
     Fs = jax.vmap(hyp)(samples)
 
-    p0h = jnp.concatenate([n0, jnp.ones((N, 1))], axis=1)
-    p1h = jnp.concatenate([n1, jnp.ones((N, 1))], axis=1)
+    p0h = jnp.concatenate([n0, jnp.ones((N, 1), n0.dtype)], axis=1)
+    p1h = jnp.concatenate([n1, jnp.ones((N, 1), n1.dtype)], axis=1)
     d = jax.vmap(lambda F: _sampson(F, p0h, p1h))(Fs)  # (num_hyp, N)
 
     # threshold in normalized coords: scale by the normalization factor
     s = T0[0, 0] * T1[0, 0]
-    thr2 = (threshold**2) * s
+    thr2 = ((threshold**2) * s).astype(d.dtype)
     inliers = (d < thr2) & validb[None, :]
     counts = jnp.sum(inliers, axis=1)
     best = jnp.argmax(counts)
