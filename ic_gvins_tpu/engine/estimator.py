@@ -63,7 +63,7 @@ def _marg_jit(params, tables, num_marg, oldest, wc):
 @_functools.partial(jax.jit, static_argnums=(1, 2))
 def _drop_node_jit(prior, wc, k):
     # MUST run jitted: eager dispatch compiles the lax.cond retry inside
-    # _equilibrated_chol_inv as a standalone primitive, which segfaults
+    # _equilibrated_chol32 as a standalone primitive, which segfaults
     # XLA:CPU's backend_compile (reproduced 2026-08; fine under jit). k is
     # a host int < N so the per-k executables stay in the compile cache.
     return marg.drop_node_from_prior(prior, wc, k)
@@ -510,7 +510,7 @@ class SlidingWindowEstimator:
             return None
         if num_marg > self.wcfg.marg_cap:
             # a real exception, NOT an assert: under python -O an assert
-            # vanishes and _schur_sqrt would silently neither eliminate nor
+            # vanishes and _schur_reduce would silently neither eliminate nor
             # retain node blocks beyond marg_cap, producing a WRONG prior.
             # Callers keep the bound by construction (gvins pre-merges
             # surplus nodes before marginalizing — models/gvins.py).

@@ -3,27 +3,40 @@
 Parity target: MarginalizationInfo (factors/marginalization_info.h:73-253):
 evaluate the factors touching the marginalized parameters, assemble H/b,
 Schur-eliminate the marginalized block with an eigen pseudo-inverse, and
-sqrt-factorize the reduced system into a linearized prior (J0, e0) replayed
-as e = e0 + J0 (x ⊟ x0). Unlike the reference's absolute 1e-8 eigenvalue
-cut, the factorizations run on Jacobi-equilibrated matrices with RELATIVE
-thresholds — see _equilibrated_eigh for why the absolute cut is unstable at
-preintegration information scales — and exploit the factor-graph structure
-(diagonal landmark block, small marged-node block, landmark-free prior) so
-no full-D spectral decomposition is ever needed (see _schur_sqrt /
-_ridge_chol_sqrt for the TPU compile-time numbers that forced this).
+carry the reduced system forward as a prior on the remained parameters.
+Unlike the reference's absolute 1e-8 eigenvalue cut, the factorizations run
+on Jacobi-equilibrated matrices with RELATIVE thresholds — see
+_equilibrated_chol32 for why the absolute cut is unstable at preintegration
+information scales — and exploit the factor-graph structure (diagonal
+landmark block, small marged-node block, landmark-free prior) so no full-D
+factorization is ever needed.
 
-TPU-native design: instead of the reference's pointer-keyed index maps and
-marg-first reordering, assembly stays in the fixed window layout (D local
-columns) and the RESULTING PRIOR lives on its true fixed (NP = lm_off)
-node/ext/td support — marginalization removes every landmark its factors
-touch, so landmark columns are identically zero and never stored. The
-marginalized set is a 0/1 mask; the Schur complement is computed with masked
-blocks, and parameters absent from the collected factors simply have zero
-rows/columns — their J0 columns come out zero, which is exactly equivalent
-to the reference keeping only "remained" blocks. No dynamic shapes, no
-per-event recompilation.
+TPU-native design, two key departures from the reference:
 
-Window shifts after marginalization are a column roll of J0 / x0
+* INFORMATION form, not sqrt form. The reference sqrt-factorizes the
+  reduced system into (J0, e0) and replays e = e0 + J0 (x ⊟ x0)
+  (marginalization_info.h:153-167). Every downstream consumer only needs
+  the Gram quantities H0 = J0ᵀJ0, g0 = J0ᵀe0 and the constant c0 = |e0|²
+  (cost: |e|² = c0 + 2 dxᵀg0 + dxᵀH0dx; gradient/Hessian likewise), so the
+  prior is stored as (H0, Jte0, c0) directly and the sqrt factorization —
+  whose f64 Cholesky XLA:TPU serializes into a measured ~16 ms at NP=307
+  (scripts/dev/prof_marg6.py) — is never performed at all.
+
+* No f64 lax.linalg anywhere: the only factorizations are f32 Cholesky
+  seeds (+ f64 matmul Newton/iterative refinement), the production pattern
+  of solver/lm.py. f64 MATMULS are fast on the MXU (96 MFLOP in ~0.8 ms
+  measured); f64 cholesky/triangular_solve are the serialized kernels this
+  module must avoid.
+
+Assembly stays in the fixed window layout (D local columns) and the
+RESULTING PRIOR lives on its true fixed (NP = lm_off) node/ext/td support —
+marginalization removes every landmark its factors touch, so landmark
+columns are identically zero and never stored. The marginalized set is a
+0/1 mask; parameters absent from the collected factors have zero rows/
+columns — equivalent to the reference keeping only "remained" blocks. No
+dynamic shapes, no per-event recompilation.
+
+Window shifts after marginalization are a row+column roll of H0 / x0
 (`shift_prior`), replacing the reference's parameter-block remapping
 (ic_gvins.cc:1616-1627).
 """
@@ -32,7 +45,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core import quaternion as quat
-from ..core.linalg64 import chol_inv_blocked
 from ..solver.problem import (
     POSE_LOCAL,
     FactorTables,
@@ -42,12 +54,19 @@ from ..solver.problem import (
     build_normal_blocks,
 )
 
-RIDGE = 1e-9  # relative ridge pinning null directions, on equilibrated scale
+RIDGE = 1e-9       # prior null-direction pin (relative, equilibrated scale)
+RIDGE_FACT = 1e-6  # factorization ridge: the Cholesky seeds run in f32, so
+                   # the ridge must dominate f32 rounding (~1e-7); the
+                   # pseudo-inverse correction steps in _schur_reduce remove
+                   # its bias double-exponentially ((ridge/w)^4 after two)
 
 
-def _equilibrated_chol_inv(A):
-    """(L, W=L^{-1}, d, ridge) of the Jacobi-equilibrated, RIDGE-regularized
-    ``A``: A + ridge*diag(d^2) = d[:,None]*d[None,:] * (L @ L.T), W = L^{-1}.
+def _equilibrated_chol32(A, ridge=RIDGE_FACT):
+    """f32 Cholesky seed of the Jacobi-equilibrated, ridged ``A``.
+
+    Returns (L32, d, An, ridge_used): An = A/(d dᵀ) symmetrized (f64),
+    L32 = chol_f32(An + ridge·I), with a lax.cond retry at 1e3x the ridge
+    if rounding made the nominal factorization non-PD.
 
     Equilibration lesson (hard-won, round 1): the reference thresholds raw
     eigenvalues at an ABSOLUTE 1e-8 (marginalization_info.h:180-187). With
@@ -56,26 +75,49 @@ def _equilibrated_chol_inv(A):
     anywhere up to ~1e-6 — randomly above or below an absolute threshold,
     making run outcomes depend on process-level rounding. Equilibrating
     first collapses the scale spread: real information maps to O(1), junk
-    stays at ~D*eps_f64 ~ 1e-13, and a RELATIVE ridge (1e-9 >> junk,
-    << real) regularizes cleanly. If assembly noise ever exceeds the ridge
-    (non-PD → NaN factor), retry once with a 1e5-stronger pin — under
-    lax.cond so the rare fallback factorization never runs on the healthy
-    path (it used to double every marginalization's runtime)."""
+    stays tiny, and a RELATIVE ridge regularizes cleanly.
+
+    f32 lesson (round 4): XLA:TPU serializes f64 cholesky/triangular_solve
+    into a minutes-to-compile, ~16 ms-to-run path (n=307), while the f32
+    kernels take ~0.1 ms; _refined_solve restores f64 solution accuracy
+    with f64 residual GEMMs."""
     dg = jnp.diag(A)
     dmax = jnp.maximum(jnp.max(dg), 1.0)  # floor 1: zero/empty blocks stay finite
     d = jnp.sqrt(jnp.clip(dg, dmax * 1e-30, None))
     An = A / (d[:, None] * d[None, :])
     An = 0.5 * (An + An.T)
-    eye = jnp.eye(A.shape[0], dtype=A.dtype)
-    L, W = chol_inv_blocked(An + RIDGE * eye)
-    ok = jnp.all(jnp.isfinite(L)) & jnp.all(jnp.isfinite(W))
-    L, W = jax.lax.cond(
+    eye32 = jnp.eye(A.shape[0], dtype=jnp.float32)
+    A32 = An.astype(jnp.float32)
+    L = jnp.linalg.cholesky(A32 + jnp.float32(ridge) * eye32)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jax.lax.cond(
         ok,
-        lambda: (L, W),
-        lambda: chol_inv_blocked(An + (RIDGE * 1e5) * eye),
+        lambda: L,
+        lambda: jnp.linalg.cholesky(A32 + jnp.float32(ridge * 1e3) * eye32),
     )
-    ridge = jnp.where(ok, RIDGE, RIDGE * 1e5)
-    return L, W, d, ridge
+    ridge_used = jnp.where(ok, ridge, ridge * 1e3)
+    return L, d, An, ridge_used
+
+
+def _refined_solve(L32, An, rhs, iters=2):
+    """Solve (An + ridge·I) y = rhs to ~f64 accuracy: f32 cho_solve seed +
+    ``iters`` f64 residual refinement passes (each one f64 GEMM + one f32
+    re-solve — solver/lm.py's production pattern, matrix-rhs form).
+
+    An/rhs are f64 on the equilibrated scale; L32 is the f32 factor of the
+    ridged An. Refinement against the UNRIDGED An: the iteration matrix
+    eigenvalue on a direction of strength w is ridge/(w+ridge) (< 1), so
+    determined directions converge to the exact solution and ridge bias
+    survives only within ~a decade of the ridge; null components of rhs are
+    rounding-level for least-squares inputs (b ∈ range(H))."""
+    def solve32(r):
+        return jax.scipy.linalg.cho_solve(
+            (L32, True), r.astype(jnp.float32)).astype(jnp.float64)
+
+    y = solve32(rhs)
+    for _ in range(iters):
+        y = y + solve32(rhs - An @ y)
+    return y
 
 
 def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg: WindowConfig):
@@ -95,58 +137,30 @@ def marginalize(params: WindowParams, marg_tables: FactorTables, marg_mask, cfg:
     # reproj_f64: here H becomes the prior itself (not just an LM
     # preconditioner), so the reprojection blocks are assembled in f64 —
     # f32 assembly noise (~1e-7 relative) would exceed the 1e-9 relative
-    # ridge; marginalization is rare (~0.1/frame) so the cost is negligible.
+    # prior pin; marginalization is rare (~0.1/frame) so the cost is small.
     Hss, Hsl, hll, b, act = build_normal_blocks(params, marg_tables, cfg,
                                                 reproj_f64=True)
     # the prior inside marg_tables is evaluated at its own x0 and already
     # included in the assembled blocks.
 
     node_idx = jnp.arange(cfg.marg_cap * cfg.node_dim, dtype=jnp.int32)
-    J0, e0, H0, bp = _schur_sqrt(Hss, Hsl, hll, b, marg_mask,
-                                 (1.0 - marg_mask) * act, node_idx, cfg)
-    # H0 = J0^T J0 and Jte0 = -bp hold BY CONSTRUCTION of the Cholesky sqrt
-    # (_ridge_chol_sqrt) — recomputing the Gram product here was a D^3=819^3
-    # software-emulated-f64 matmul doing 19x the work of the prior's true
-    # NP^2 support, per marginalization.
-    return MargPrior(J0=J0, H0=H0, e0=e0, Jte0=-bp, x0=params, valid=jnp.ones(()))
+    H0, bp, c0 = _schur_reduce(Hss, Hsl, hll, b, marg_mask,
+                               (1.0 - marg_mask) * act, node_idx, cfg)
+    return MargPrior(H0=H0, Jte0=-bp, c0=c0, x0=params, valid=jnp.ones(()))
 
 
-def _ridge_chol_sqrt(Hp, bp):
-    """sqrt-factorize ``Hp`` into (J0p, e0p, H0p) with J0p^T J0p = H0p =
-    Hp + ridge*diag(d^2) and J0p^T e0p = -bp EXACTLY, via Jacobi-equilibrated
-    Cholesky (H0p is returned so callers never need the Gram product).
-
-    Replaces the reference's eigendecomposition sqrt
-    (marginalization_info.h:153-167). Two reasons:
-    (a) XLA:TPU compiles f64 eigh above ~256 through a QDWH expansion that
-        takes MINUTES (measured on chip: 135 s at D=307, 387 s at D=512 —
-        round 2's bench died on exactly this); Cholesky compiles in seconds;
-    (b) at runtime the triangular factorization is ~10x cheaper than the
-        spectral one on every backend.
-    Semantics: instead of CUTTING null-space (gauge / untouched-parameter)
-    directions, each direction is pinned to x0 with RIDGE-relative strength
-    (~1e-9 of the diagonal scale) — statistically negligible information.
-    For least-squares H,b we have b in range(H), so the null components of
-    bp are rounding-level and e0 stays at residual scale: the |e0|^2 and
-    gradient-consistency gates in tests/test_marginalization.py still hold.
-    """
-    L, W, d, ridge = _equilibrated_chol_inv(Hp)
-    J0p = L.T * d[None, :]
-    e0p = -(W @ (bp / d))
-    H0p = Hp + jnp.diag(ridge * d * d)
-    return J0p, e0p, H0p
-
-
-def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
-    """Schur-eliminate the masked coordinates and sqrt-factorize the result.
+def _schur_reduce(Hss, Hsl, hll, b, m, r, node_idx, cfg):
+    """Schur-eliminate the masked coordinates; return the reduced system in
+    information form.
 
     Inputs are the BLOCK normal equations (build_normal_blocks): Hss
     (NP,NP) over node/ext/td coords, Hsl (NP,L) node-landmark coupling,
     hll (L,) the diagonal landmark block, b (D,). m: (D,) 0/1 marginalized
-    mask; r: (D,) 0/1 remained mask. Returns (J0, e0, H0, bp) on the prior's
+    mask; r: (D,) 0/1 remained mask. Returns (H0, bp, c0) on the prior's
     TRUE (NP,NP) support — remained support never includes landmark columns
-    (see below) so nothing outside the leading NP block is ever nonzero —
-    with J0^T J0 = H0 = Hp (+ relative ridge) and J0^T e0 = -bp exactly.
+    (see below) — with H0 = Hp + ridge pin, and c0 = bpᵀHp⁺bp the constant
+    the reference's sqrt factorization would produce as |e0|²
+    (e0 = Λ^{-1/2}Vᵀbp ⇒ |e0|² = bpᵀHp⁺bp, marginalization_info.h:153-167).
 
     Exploits the problem's structure instead of factoring the full D x D
     system (819 at production sizing) like the reference does:
@@ -162,14 +176,17 @@ def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
       every landmark its collected factors touch, matching
       ic_gvins.cc:1569-1610, and priors chain inductively).
 
-    Net: the diagonal landmark elimination + one |node_idx| (<= 90) and one
-    leading-block (N*node_dim+7) blocked f64 Cholesky (core/linalg64.py)
-    replace the reference's full-D eigendecompositions, whose XLA:TPU
-    compile alone takes minutes and whose runtime is ~50x this path.
-    Rank-deficient directions (gauge / untouched params) are pinned with a
-    RIDGE-relative (~1e-9) weight instead of being cut: for least-squares
-    H,b we have b in range(H), so null components of bp are rounding-level
-    and e0 stays at residual scale (gates in tests/test_marginalization.py).
+    The marged-node block S (≤ 90) is applied as a PSEUDO-inverse operator:
+    f32-Cholesky-seeded refined solves of the RIDGE_FACT-ridged system, then
+    two Newton pseudo-inverse correction steps X ← X(2I − SX) applied in
+    solve form — the elimination error on a direction of strength w falls as
+    (ridge/(w+ridge))^(2^k), i.e. ~(1e-3)^4 = 1e-12 at w=1e-3 — matching the
+    old f64 path's (1e-9/w)^2 while never touching XLA:TPU's serialized f64
+    factorization kernels (measured ~6 ms at n=90, ~16 ms at n=307; this
+    path is ~0.5 ms). Rank-deficient directions (gauge / untouched params)
+    are pinned instead of cut: for least-squares H,b we have b ∈ range(H),
+    so null components of bp are rounding-level and c0 stays at residual
+    scale (gates in tests/test_marginalization.py).
     """
     NP = cfg.lm_off
     lo = cfg.lm_off
@@ -184,18 +201,11 @@ def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     c_inv = jnp.where(c > jnp.maximum(jnp.max(c), 1.0) * 1e-30,
                       1.0 / jnp.where(c > 0, c, 1.0), 0.0)
 
-    # inverse of the landmark-eliminated marged node block (the reference's
-    # eigen pseudo-inverse, marginalization_info.h:180-187; joint null
+    # landmark-eliminated marged node block (the reference's eigen
+    # pseudo-inverse target, marginalization_info.h:180-187; joint null
     # vectors with landmark components project into S's null space, where
     # the equilibrated relative ridge takes over the rank handling)
     S = A - (B * c_inv[None, :]) @ B.T
-    Ls, Ws, dm, _ = _equilibrated_chol_inv(S)
-    S1 = (Ws.T @ Ws) / (dm[:, None] * dm[None, :])
-    # one Newton step toward the true pseudo-inverse: the plain ridged
-    # inverse underweights weakly-determined directions by ridge/w (~1e-6
-    # relative at w ~ 1e-3); refinement squares that to ~1e-12 while null
-    # junk stays range-consistent (contribution ~eps^2/ridge ~ 1e-17)
-    S_inv = 2.0 * S1 - S1 @ S @ S1
 
     # remained (rows, <= NP) x marged (cols) coupling blocks
     Un = Hss[:, node_idx] * (rN[:, None] * m_n[None, :])
@@ -203,16 +213,45 @@ def _schur_sqrt(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     Ulc = Ul * c_inv[None, :]
     W = Un - Ulc @ B.T
 
-    Hrr = Hss * (rN[:, None] * rN[None, :])
-    Hp = Hrr - Ulc @ Ul.T - (W @ S_inv) @ W.T
-
     bm = b * m
     bl = bm[lo:]
-    x_n = S_inv @ (bm[:NP][node_idx] - B @ (c_inv * bl))
+    u = bm[:NP][node_idx] - B @ (c_inv * bl)
+
+    # apply S⁺ to [Wᵀ | u] in solve form (equilibrated scale throughout)
+    Ls, dS, Sn, _ = _equilibrated_chol32(S)
+    rhs = jnp.concatenate([W.T, u[:, None]], axis=1) / dS[:, None]
+
+    def x0_apply(Z):
+        return _refined_solve(Ls, Sn, Z)
+
+    def x1_apply(Z):  # one Newton pseudo-inverse step: X1 = X0(2I - Sn X0)
+        Y = x0_apply(Z)
+        return 2.0 * Y - x0_apply(Sn @ Y)
+
+    Y1 = x1_apply(rhs)
+    Y2 = x1_apply(2.0 * rhs - Sn @ Y1)  # X2 = X1(2I - Sn X1) applied to rhs
+    # undo equilibration: S⁺ = dS⁻¹ Sn⁺ dS⁻¹, rhs was already right-scaled
+    Yu = Y2 / dS[:, None]
+    G = Yu[:, :NP]        # (|node_idx|, NP) = S⁺ Wᵀ
+    x_n = Yu[:, NP]       # (|node_idx|,)   = S⁺ u
+
+    Hrr = Hss * (rN[:, None] * rN[None, :])
+    Hp = Hrr - Ulc @ Ul.T - W @ G
+    Hp = 0.5 * (Hp + Hp.T)
     bp = (b * r)[:NP] - W @ x_n - Ul @ (c_inv * bl)
 
-    J0p, e0p, H0p = _ridge_chol_sqrt(0.5 * (Hp + Hp.T), bp)
-    return J0p, e0p, H0p, bp
+    # prior pin + constant. c0 = bpᵀHp⁺bp via one more f32-seeded refined
+    # solve; its ridge bias is ≤ ~1e-6 relative — c0 is a COST CONSTANT
+    # (affects only LM's relative-decrease test), not an estimate.
+    dgp = jnp.diag(Hp)
+    dpmax = jnp.maximum(jnp.max(dgp), 1.0)
+    dp = jnp.sqrt(jnp.clip(dgp, dpmax * 1e-30, None))
+    H0 = Hp + jnp.diag(RIDGE * dp * dp)
+    Lp, dpe, Hn, _ = _equilibrated_chol32(Hp)
+    yhat = _refined_solve(Lp, Hn, (bp / dpe)[:, None])[:, 0]
+    c0 = jnp.maximum(jnp.dot(bp / dpe, yhat), 0.0)
+    c0 = jnp.where(jnp.isfinite(c0), c0, 0.0)
+    return H0, bp, c0
 
 
 def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
@@ -234,20 +273,19 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     idx = k * ND + jnp.arange(ND)
     m = jnp.zeros(D).at[idx].set(1.0)
     # restrict to coordinates the prior actually constrains (the threshold
-    # is RELATIVE: ridge-pinned null columns sit ~15 orders below real ones)
-    amax = jnp.abs(prior.J0).max()
-    act = (jnp.abs(prior.J0).max(axis=0)
-           > 1e-12 * jnp.maximum(amax, 1e-30)).astype(jnp.float64)
+    # is RELATIVE: pin-level null diagonals sit many orders below real ones;
+    # diag(H0) is the squared column scale of the implicit sqrt factor)
+    dg = jnp.diag(prior.H0)
+    act = (dg > 1e-24 * jnp.maximum(jnp.max(dg), 1e-30)).astype(jnp.float64)
     # the prior is landmark-free by construction: pad zero landmark blocks
-    J0, e0, H0, bp = _schur_sqrt(
+    H0, bp, c0 = _schur_reduce(
         prior.H0, jnp.zeros((NP, cfg.L)), jnp.zeros(cfg.L),
         jnp.concatenate([-prior.Jte0, jnp.zeros(cfg.L)]),
         m, (1.0 - m) * jnp.concatenate([act, jnp.zeros(cfg.L)]),
         jnp.asarray(idx, jnp.int32), cfg)
 
-    # compact: node columns > k move one slot left, last node zeroed. The
-    # same permutation applied to H0's rows+cols and Jte0's entries updates
-    # the cached Gram products EXACTLY — no matmul.
+    # compact: node columns > k move one slot left, last node zeroed — a
+    # pure permutation of H0's rows+cols and Jte0's entries (c0 unchanged).
     nd = cfg.N * ND
     lo, hi = k * ND, (k + 1) * ND
 
@@ -256,7 +294,6 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
             [M[:, :lo], M[:, hi:nd], jnp.zeros((M.shape[0], ND), M.dtype),
              M[:, nd:]], axis=1)
 
-    J0 = comp_cols(J0)
     H0 = comp_cols(comp_cols(H0).T)
     nbp = -bp
     Jte0 = jnp.concatenate([nbp[:lo], nbp[hi:nd], jnp.zeros(ND), nbp[nd:]])
@@ -266,31 +303,29 @@ def drop_node_from_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     mixes0 = jnp.concatenate(
         [prior.x0.mixes[:k], prior.x0.mixes[k + 1:], jnp.zeros((1, cfg.mix_dim))], axis=0)
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
-    return prior._replace(J0=J0, H0=H0, e0=e0, Jte0=Jte0, x0=x0)
+    return prior._replace(H0=H0, Jte0=Jte0, c0=c0, x0=x0)
 
 
 def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     """Shift node slots left by ``shift`` after the window slides.
 
-    Node-block columns of J0 (and the node entries of x0) roll left by
-    shift*NODE_DIM; vacated tail columns are zeroed. ext/td columns are
-    unchanged. ``shift`` may be a traced integer. H0/Jte0 follow by the SAME
-    roll applied to H0's rows+cols and Jte0's entries — a column permutation
-    of J0 permutes the Gram matrix exactly, so the former J0ᵀJ0 recompute
-    (an NP³, previously 819³, software-f64 matmul per window slide) is
+    Node-block rows+columns of H0 (and the node entries of Jte0/x0) roll
+    left by shift*NODE_DIM; vacated tail rows/columns are zeroed. ext/td
+    are unchanged; c0 is invariant under relabeling. ``shift`` may be a
+    traced integer. A pure permutation — the former sqrt-factor recompute
+    (an NP³, previously 819³, software-f64 matmul per window slide) was
     pure waste."""
     N = cfg.N
     ND = cfg.node_dim
     nd = N * ND
 
-    keep = (jnp.arange(N) < (N - shift)).astype(prior.J0.dtype)
+    keep = (jnp.arange(N) < (N - shift)).astype(prior.H0.dtype)
     keep_cols = jnp.repeat(keep, ND)
 
     def roll_cols(M):
         Mn = jnp.roll(M[:, :nd], -shift * ND, axis=1) * keep_cols[None, :]
         return jnp.concatenate([Mn, M[:, nd:]], axis=1)
 
-    J0 = roll_cols(prior.J0)
     H0 = roll_cols(roll_cols(prior.H0).T)
     Jte0 = jnp.concatenate(
         [jnp.roll(prior.Jte0[:nd], -shift * ND) * keep_cols, prior.Jte0[nd:]])
@@ -300,7 +335,7 @@ def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     mixes0 = jnp.roll(prior.x0.mixes, -shift, axis=0) * keep[:, None]
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
 
-    return prior._replace(J0=J0, H0=H0, Jte0=Jte0, x0=x0)
+    return prior._replace(H0=H0, Jte0=Jte0, x0=x0)
 
 
 def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
@@ -317,22 +352,26 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     ND = cfg.node_dim
     nd = cfg.N * ND
     lo = k * ND
-    if __debug__:
-        # callers must guarantee the last node slot is free — otherwise the
-        # shift silently discards prior information on it (host-side eager
-        # check; mid-interval insertions are rare so the cost is negligible)
-        tail = float(jnp.abs(prior.J0[:, nd - ND : nd]).max())
-        assert tail == 0.0, (
+    # callers must guarantee the last node slot is free — otherwise the
+    # shift silently discards prior information on it (host-side eager
+    # check; mid-interval insertions are rare so the cost is negligible).
+    # The threshold is RELATIVE: a freshly marginalized prior carries
+    # pin/d-floor junk (~1e-15 of the leading scale) in inactive tail
+    # columns, ~6+ orders below any real constraint (cf. the 1e-24-relative
+    # diagonal activity cut in drop_node_from_prior).
+    tail = float(jnp.abs(prior.H0[:, nd - ND : nd]).max())
+    scale = float(jnp.abs(prior.H0).max())
+    if tail > 1e-9 * max(scale, 1e-30):
+        raise RuntimeError(
             f"insert_node_slot_into_prior would drop nonzero prior columns "
-            f"on the last node slot (max |J0|={tail:g}); caller must ensure "
-            f"free capacity before inserting")
+            f"on the last node slot (max |H0|={tail:g} vs scale {scale:g}); "
+            f"caller must ensure free capacity before inserting")
     def ins_cols(M):
         return jnp.concatenate(
             [M[:, :lo], jnp.zeros((M.shape[0], ND), M.dtype),
              M[:, lo : nd - ND], M[:, nd:]], axis=1)
 
-    # same permutation on H0 rows+cols / Jte0 entries: exact, matmul-free
-    J0 = ins_cols(prior.J0)
+    # permutation on H0 rows+cols / Jte0 entries: exact, matmul-free
     H0 = ins_cols(ins_cols(prior.H0).T)
     Jte0 = jnp.concatenate(
         [prior.Jte0[:lo], jnp.zeros(ND), prior.Jte0[lo : nd - ND],
@@ -344,7 +383,7 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
         [prior.x0.mixes[:k], jnp.zeros((1, cfg.mix_dim)),
          prior.x0.mixes[k : cfg.N - 1]], axis=0)
     x0 = prior.x0._replace(poses=poses0, mixes=mixes0)
-    return prior._replace(J0=J0, H0=H0, Jte0=Jte0, x0=x0)
+    return prior._replace(H0=H0, Jte0=Jte0, x0=x0)
 
 
 def select_marg_factors(tables: FactorTables, cfg: WindowConfig, num_marg, oldest_kf_node):

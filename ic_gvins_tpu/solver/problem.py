@@ -68,7 +68,7 @@ class WindowConfig(NamedTuple):
         """Static bound on nodes marginalized per window slide (at most the
         second-oldest keyframe's node; GNSS 1 Hz vs keyframes ~2 Hz keeps the
         real count at 1-3). Sizes the small marged-node block factored by
-        marginalization._schur_sqrt; the estimator asserts num_marg stays
+        marginalization._schur_reduce; the estimator asserts num_marg stays
         under it."""
         return min(6, self.N)
 
@@ -235,7 +235,19 @@ class PriorTable(NamedTuple):
 
 
 class MargPrior(NamedTuple):
-    """Linearized prior from marginalization: e = e0 + J0 (x ⊟ x0)[:NP].
+    """Marginalization prior in INFORMATION form.
+
+    Equivalent to the reference's linearized sqrt factor e = e0 + J0·dx
+    (marginalization_factor.h:47-101) with dx = (x ⊟ x0)[:NP], but stored as
+    the Gram quantities every consumer actually needs:
+
+        cost     = ½·(c0 + 2 dxᵀ·Jte0 + dxᵀ·H0·dx)     (≡ ½|e0 + J0 dx|²)
+        gradient = Jte0 + H0·dx                          (≡ J0ᵀe)
+        Hessian  = H0                                    (≡ J0ᵀJ0)
+
+    so the sqrt factorization (an f64 Cholesky XLA:TPU serializes into a
+    measured ~16 ms at NP=307) is never performed — see
+    factors/marginalization.py.
 
     Stored on its TRUE (NP = lm_off) support — node/ext/td columns only.
     Marginalization removes every landmark its collected factors touch
@@ -243,14 +255,12 @@ class MargPrior(NamedTuple):
     and priors chain inductively), so landmark columns are identically zero
     and are never materialized; the former full-(D,D) storage made every
     prior product a D³=819³ software-f64 matmul doing 19x the useful work.
-    Columns of non-landmark parameters absent from the prior are zero
-    (equivalent to the reference keeping only 'remained' blocks,
-    marginalization_factor.h:47-101)."""
+    Rows/columns of non-landmark parameters absent from the prior are zero
+    (equivalent to the reference keeping only 'remained' blocks)."""
 
-    J0: jnp.ndarray        # (NP,NP)
-    H0: jnp.ndarray        # (NP,NP) cached J0^T J0
-    e0: jnp.ndarray        # (NP,)
-    Jte0: jnp.ndarray      # (NP,) cached J0^T e0
+    H0: jnp.ndarray        # (NP,NP) prior information (J0ᵀJ0)
+    Jte0: jnp.ndarray      # (NP,)   prior gradient at x0 (J0ᵀe0)
+    c0: jnp.ndarray        # ()      prior constant |e0|² = bpᵀHp⁺bp
     x0: WindowParams       # linearization point
     valid: jnp.ndarray     # ()
 
@@ -258,10 +268,9 @@ class MargPrior(NamedTuple):
     def empty(cfg):
         NP = cfg.lm_off
         return MargPrior(
-            J0=jnp.zeros((NP, NP)),
             H0=jnp.zeros((NP, NP)),
-            e0=jnp.zeros(NP),
             Jte0=jnp.zeros(NP),
+            c0=jnp.zeros(()),
             x0=WindowParams.zeros(cfg),
             valid=jnp.zeros(()),
         )
@@ -432,10 +441,14 @@ def total_cost(params, tables: FactorTables, cfg: WindowConfig,
     rmp = basic.mix_prior_residual(params.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
     cost += 0.5 * tables.prior.valid * (jnp.sum(rpp * rpp) + jnp.sum(rmp * rmp))
 
-    # marginalization prior (landmark-free: NP support only)
+    # marginalization prior (landmark-free: NP support only), in
+    # information form: ½|e0 + J0 dx|² = ½(c0 + 2 dxᵀJte0 + dxᵀH0dx). The
+    # clamp guards the ~1e-6-relative approximation in c0 (a solve, see
+    # marginalization._schur_reduce) from dipping the quadratic negative.
     dx = params.boxminus(cfg, tables.marg.x0)[: cfg.lm_off]
-    rm = tables.marg.e0 + tables.marg.J0 @ dx
-    cost += 0.5 * tables.marg.valid * jnp.sum(rm * rm)
+    quad = tables.marg.c0 + 2.0 * jnp.dot(dx, tables.marg.Jte0) + jnp.dot(
+        dx, tables.marg.H0 @ dx)
+    cost += 0.5 * tables.marg.valid * jnp.maximum(quad, 0.0)
     return cost
 
 

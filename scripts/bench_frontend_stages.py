@@ -9,8 +9,12 @@ the tunnel round trip cancels:
   ransac  fundamental RANSAC
   detect  occupancy mask + blockwise Shi-Tomasi + subpixel refinement
 
-Usage: python scripts/bench_frontend_stages.py [--cpu]
-Prints one JSON line {stage: ms}.
+Usage: python scripts/bench_frontend_stages.py [--cpu] [--stage NAME]
+Prints one JSON line {stage: ms}. ``--stage`` runs ONE stage and exits:
+cross-stage in-process timing contamination has been observed on the
+tunneled TPU (a stage measured alongside others can read 10-300x its
+one-stage-per-process value), so for trustworthy numbers run each stage in
+its own process.
 """
 
 import json
@@ -59,6 +63,10 @@ def main():
         lambda im: pyramid.build_pyramid(pyramid.clahe(im), lk.PYRAMID_LEVELS))(img0)]
     pts0 = jnp.asarray(r.uniform(30, 900, (F_MAX, 2)), jnp.float32)
 
+    only = None
+    if "--stage" in sys.argv:
+        only = sys.argv[sys.argv.index("--stage") + 1]
+
     out = {}
 
     # ---- pyr: CLAHE + pyramid
@@ -66,9 +74,10 @@ def main():
         p = pyramid.build_pyramid(pyramid.clahe(img), lk.PYRAMID_LEVELS)
         return jnp.roll(img + p[0][0, 0] * 1e-9, (2, 3), axis=(0, 1))
 
-    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, pyr_step, c))
-    out["pyr_ms"] = timed_loop(
-        run, lambda s: img0 + np.float32(s), k=100) * 1000
+    if only in (None, "pyr"):
+        run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, pyr_step, c))
+        out["pyr_ms"] = timed_loop(
+            run, lambda s: img0 + np.float32(s), k=100) * 1000
 
     # ---- lk: one bidirectional batch; pyramids alternate via roll
     pyr1 = [jnp.roll(p, (1, 2), axis=(0, 1)) for p in pyr0]
@@ -78,9 +87,10 @@ def main():
                                          jnp.ones(F_MAX, bool))
         return jnp.clip(nxt, 30.0, 900.0)
 
-    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, lk_step, c))
-    out["lk_ms"] = timed_loop(
-        run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+    if only in (None, "lk"):
+        run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, lk_step, c))
+        out["lk_ms"] = timed_loop(
+            run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
 
     # ---- ransac
     def ransac_step(i, pts):
@@ -88,9 +98,10 @@ def main():
             pts, pts + 2.0, jnp.ones(F_MAX, jnp.float64), 1.5)
         return pts + inl[:, None] * 1e-6
 
-    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, ransac_step, c))
-    out["ransac_ms"] = timed_loop(
-        run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+    if only in (None, "ransac"):
+        run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, ransac_step, c))
+        out["ransac_ms"] = timed_loop(
+            run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
 
     # ---- detect: occupancy mask + blockwise + subpix
     def detect_step(i, pts):
@@ -104,9 +115,10 @@ def main():
         return pts.at[: BR * BC * PB].set(
             jnp.clip(corners.astype(jnp.float32), 30.0, 900.0))
 
-    run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, detect_step, c))
-    out["detect_ms"] = timed_loop(
-        run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+    if only in (None, "detect"):
+        run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, detect_step, c))
+        out["detect_ms"] = timed_loop(
+            run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
 
     out = {k: round(v, 3) for k, v in out.items()}
     out["total_ms"] = round(sum(out.values()), 3)

@@ -1,6 +1,22 @@
-"""Isolate _schur_sqrt internals; ONE stage per process (cross-stage
-in-process timing contamination observed on the tunnel).
-Usage: python scripts/dev/prof_marg6.py <stage> [--cpu]"""
+"""Isolate marginalization._schur_reduce internals on the live backend.
+
+Methodology notes (hard-won on the tunneled TPU):
+  * ONE stage per process — cross-stage in-process timing contamination has
+    been observed (a stage measured alongside others can read 10-300x its
+    one-stage-per-process value);
+  * fresh inputs per timed call (make_init(seed)) — repeated dispatches
+    with IDENTICAL (executable, args) are served from a tunnel cache
+    (~0.02 ms, fake);
+  * cost = (t(k) - t(1)) / (k - 1) with the k iterations chained ON DEVICE
+    in one fori_loop so the ~20 ms host round trip cancels.
+
+Usage: python scripts/dev/prof_marg6.py <stage> [--cpu]
+Stages: gathers, s_chain, w_chain, full
+Historical numbers (2026-08, TPU v5 lite, pre-information-form refactor):
+the old sqrt path measured full=24.2 ms — s_chain (f64 blocked chol at 90)
+7.5 ms + _ridge_chol_sqrt (f64 blocked chol at 307) ~16 ms; f64 MATMULS
+were never the problem (w_chain, 96 MFLOP, 0.8 ms).
+"""
 
 import json
 import os
@@ -80,20 +96,32 @@ def gathers(i, c):
 
 
 def s_chain(i, c):
+    """Marged-block pseudo-inverse application (f32 chol seed + refined
+    solves + two Newton correction steps), as in _schur_reduce."""
     Hss, Hsl, hll, b, m, r = c
     Hss = Hss + 1e-9 * i * jnp.eye(NP)
     m_n = m[node_idx]
     m_l = m[NP:]
+    rN = r[:NP]
     A = Hss[node_idx][:, node_idx] * (m_n[:, None] * m_n[None, :])
     B = Hsl[node_idx] * (m_n[:, None] * m_l[None, :])
     cdiag = hll * m_l
     c_inv = jnp.where(cdiag > jnp.maximum(jnp.max(cdiag), 1.0) * 1e-30,
                       1.0 / jnp.where(cdiag > 0, cdiag, 1.0), 0.0)
     S = A - (B * c_inv[None, :]) @ B.T
-    Ls, Ws, dm, _ = marg._equilibrated_chol_inv(S)
-    S1 = (Ws.T @ Ws) / (dm[:, None] * dm[None, :])
-    S_inv = 2.0 * S1 - S1 @ S @ S1
-    return feed(c, S_inv)
+    Un = Hss[:, node_idx] * (rN[:, None] * m_n[None, :])
+    Ul = Hsl * (rN[:, None] * m_l[None, :])
+    W = Un - (Ul * c_inv[None, :]) @ B.T
+    Ls, dS, Sn, _ = marg._equilibrated_chol32(S)
+    rhs = W.T / dS[:, None]
+
+    def x1_apply(Z):
+        Y = marg._refined_solve(Ls, Sn, Z)
+        return 2.0 * Y - marg._refined_solve(Ls, Sn, Sn @ Y)
+
+    Y1 = x1_apply(rhs)
+    Y2 = x1_apply(2.0 * rhs - Sn @ Y1)
+    return feed(c, Y2)
 
 
 def w_chain(i, c):
@@ -111,16 +139,16 @@ def w_chain(i, c):
     Ulc = Ul * c_inv[None, :]
     W = Un - Ulc @ B.T
     Hrr = Hss * (rN[:, None] * rN[None, :])
-    S_inv = jnp.eye(MC) * (1.0 + 1e-12 * i)
-    Hp = Hrr - Ulc @ Ul.T - (W @ S_inv) @ W.T
+    G = W.T * (1.0 + 1e-12 * i)
+    Hp = Hrr - Ulc @ Ul.T - W @ G
     return feed(c, Hp)
 
 
 def full(i, c):
     Hss, Hsl, hll, b, m, r = c
-    J0, e0, H0, bp = marg._schur_sqrt(Hss + 1e-9 * i * jnp.eye(NP), Hsl,
-                                      hll, b, m, r, node_idx, cfg)
-    return feed(c, H0, e0)
+    H0, bp, c0 = marg._schur_reduce(Hss + 1e-9 * i * jnp.eye(NP), Hsl,
+                                    hll, b, m, r, node_idx, cfg)
+    return feed(c, H0, bp, c0)
 
 
 STAGES = {"gathers": gathers, "s_chain": s_chain, "w_chain": w_chain, "full": full}

@@ -201,9 +201,10 @@ def test_replayed_prior_gradient_consistent_and_cost_bounded():
 
     # gate 1: constant prior cost at the linearization point is bounded by
     # the (small) converged residual cost of the absorbed factors
-    e0_sq = float(jnp.sum(prior.e0**2))
+    # (c0 = bp^T Hp^+ bp, the |e0|^2 of the reference's sqrt factorization)
+    e0_sq = float(prior.c0)
     pre_cost = float(total_cost(params, marg_tables, CFG))
-    assert e0_sq < 10.0 * pre_cost + 1.0, f"|e0|^2 = {e0_sq} vs marg-factor cost {pre_cost}"
+    assert e0_sq < 10.0 * pre_cost + 1.0, f"c0 = {e0_sq} vs marg-factor cost {pre_cost}"
 
     # keep indexing unshifted: deactivate absorbed factors, install the prior
     g = tables.gnss
@@ -253,13 +254,18 @@ def test_drop_node_from_prior_preserves_marginal():
 
     # last node's columns vacated, x0 compacted
     nd = CFG.N * 15
-    assert float(jnp.abs(pr2.J0[:, nd - 15 : nd]).max()) == 0.0
+    assert float(jnp.abs(pr2.H0[:, nd - 15 : nd]).max()) == 0.0
     np.testing.assert_allclose(np.asarray(pr2.x0.poses[k]), np.asarray(prior.x0.poses[k + 1]))
 
-    J0 = np.asarray(prior.J0)  # (NP,NP) compact support
-    e0 = np.asarray(prior.e0)
+    # the information-form quadratic Q(dx) = c0 + 2 dx^T g + dx^T H dx
+    # (= |e0 + J0 dx|^2) of the compacted prior must equal the original
+    # quadratic minimized over node k's 15 coordinates
+    H = np.asarray(prior.H0)
+    g = np.asarray(prior.Jte0)
+    c0 = float(prior.c0)
     NP = CFG.lm_off
-    Jk = J0[:, k * 15 : (k + 1) * 15]
+    sk = slice(k * 15, (k + 1) * 15)
+    Hkk = H[sk, sk]
     rng = np.random.default_rng(11)
     for _ in range(3):
         # random step on the compacted coordinates, embedded into the
@@ -269,8 +275,13 @@ def test_drop_node_from_prior_preserves_marginal():
         dxo[: k * 15] = dxc[: k * 15]
         dxo[(k + 1) * 15 : nd] = dxc[k * 15 : nd - 15]
         dxo[nd:] = dxc[nd:]
-        res_wo_k = e0 + J0 @ dxo
-        xk = -np.linalg.pinv(Jk.T @ Jk, rcond=1e-10) @ (Jk.T @ res_wo_k)
-        cost_min = 0.5 * np.sum((res_wo_k + Jk @ xk) ** 2)
-        cost_comp = 0.5 * float(jnp.sum((pr2.e0 + pr2.J0 @ jnp.asarray(dxc)) ** 2))
-        np.testing.assert_allclose(cost_comp, cost_min, rtol=1e-6, atol=1e-8)
+        # minimize Q over xk: grad_k = g_k + (H dxo)_k + Hkk xk = 0
+        rhs = g[sk] + (H @ dxo)[sk]
+        xk = -np.linalg.pinv(Hkk, rcond=1e-10, hermitian=True) @ rhs
+        dxf = dxo.copy()
+        dxf[sk] = xk
+        cost_min = 0.5 * (c0 + 2.0 * dxf @ g + dxf @ H @ dxf)
+        cost_comp = 0.5 * (float(pr2.c0) + 2.0 * dxc @ np.asarray(pr2.Jte0)
+                           + dxc @ np.asarray(pr2.H0) @ dxc)
+        np.testing.assert_allclose(cost_comp, cost_min, rtol=1e-6,
+                                   atol=1e-6 * max(abs(cost_min), 1.0))

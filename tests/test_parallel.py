@@ -120,8 +120,8 @@ def test_sharded_marginalization_matches_single():
                                    np.asarray(ref.H0), atol=1e-8 * scale)
         np.testing.assert_allclose(np.asarray(prior_b.Jte0[k]),
                                    np.asarray(ref.Jte0), atol=1e-8 * scale)
-        np.testing.assert_allclose(np.asarray(prior_b.e0[k]),
-                                   np.asarray(ref.e0), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(prior_b.c0[k]),
+                                   np.asarray(ref.c0), rtol=1e-6, atol=1e-9)
 
 
 def test_sharded_ins_matches_single():

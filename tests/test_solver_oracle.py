@@ -63,6 +63,18 @@ def _residual_stack_fn(init, tables, idx):
     imuerr_res, _ = problem._imu_error_fns(CFG)
     idx = jnp.asarray(idx, jnp.int32)
 
+    # information-form marg prior -> explicit sqrt factor for the oracle's
+    # residual stack (numpy eigh, test-only). e0 = V L^{-1/2} V^T Jte0
+    # satisfies J0^T e0 = Jte0 on range(H0); the range-orthogonal part of
+    # the true e0 is a constant and cannot affect the optimum.
+    Hm = np.asarray(tables.marg.H0)
+    w_, V_ = np.linalg.eigh(0.5 * (Hm + Hm.T))
+    w_ = np.clip(w_, 0.0, None)
+    _J0t = jnp.asarray((V_ * np.sqrt(w_)) @ V_.T)
+    winv_ = np.where(w_ > 1e-12 * max(float(w_.max()), 1e-300),
+                     1.0 / np.sqrt(np.where(w_ > 0, w_, 1.0)), 0.0)
+    _e0t = jnp.asarray((V_ * winv_) @ (V_.T @ np.asarray(tables.marg.Jte0)))
+
     def stack_params(p):
         rg = problem._gnss_residuals(p, tables.gnss, tables.antlever)
         rg = rg * tables.gnss.valid[:, None]
@@ -85,7 +97,7 @@ def _residual_stack_fn(init, tables, idx):
             p.mixes[0], tables.prior.mix_prior, tables.prior.mix_prior_std)
         rpr = jnp.concatenate([rpp, rmp]) * tables.prior.valid
         dm = p.boxminus(CFG, tables.marg.x0)[: CFG.lm_off]
-        rm = (tables.marg.e0 + tables.marg.J0 @ dm) * tables.marg.valid
+        rm = (_e0t + _J0t @ dm) * tables.marg.valid
         return jnp.concatenate(
             [rg.ravel(), rp.ravel(), rr.ravel().astype(jnp.float64), re, rpr, rm])
 
