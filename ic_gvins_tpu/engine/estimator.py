@@ -23,6 +23,7 @@ from ..solver.problem import (
     FactorTables,
     GnssTable,
     PreintTable,
+    ReprojTable,
     WindowConfig,
     WindowParams,
 )
@@ -103,10 +104,11 @@ def _unpack_preint(packed, wc):
 
 @_functools.partial(jax.jit, static_argnums=(2,))
 def _tables_dev_jit(packed_preint, packed_gnss, wc, n_nodes, imuerr_idx,
-                    ext_active, td_active):
-    """Assemble the per-episode device tables from TWO packed host arrays in
-    ONE dispatch: the per-leaf jnp.asarray churn (preint tree, gnss columns,
-    node_valid, flag scalars) cost ~2 ms of pure host dispatch per episode."""
+                    ext_active, td_active, packed_reproj, reproj_sqrt_info):
+    """Assemble the per-episode device tables from THREE packed host arrays
+    in ONE dispatch: the per-leaf jnp.asarray churn (preint tree, gnss
+    columns, reprojection columns, node_valid, flag scalars) cost ~3 ms of
+    pure host dispatch per episode."""
     preint = _unpack_preint(packed_preint, wc)
     gnss = GnssTable(
         idx=packed_gnss[:, 0].astype(jnp.int32),
@@ -115,8 +117,22 @@ def _tables_dev_jit(packed_preint, packed_gnss, wc, n_nodes, imuerr_idx,
         valid=packed_gnss[:, 7],
         robust=jnp.ones(()),
     )
+    reproj = ReprojTable(
+        ref_idx=packed_reproj[:, 0].astype(jnp.int32),
+        obs_idx=packed_reproj[:, 1].astype(jnp.int32),
+        lm_idx=packed_reproj[:, 2].astype(jnp.int32),
+        pts0=packed_reproj[:, 3:6],
+        pts1=packed_reproj[:, 6:9],
+        vel0=packed_reproj[:, 9:12],
+        vel1=packed_reproj[:, 12:15],
+        td0=packed_reproj[:, 15],
+        td1=packed_reproj[:, 16],
+        valid=packed_reproj[:, 17],
+        sqrt_info=jnp.asarray(reproj_sqrt_info),
+        robust=jnp.ones(()),
+    )
     node_valid = (jnp.arange(wc.N) < n_nodes).astype(jnp.float64)
-    return (preint, gnss, node_valid, jnp.asarray(imuerr_idx, jnp.int32),
+    return (preint, gnss, reproj, node_valid, jnp.asarray(imuerr_idx, jnp.int32),
             jnp.asarray(ext_active, jnp.float64), jnp.asarray(td_active, jnp.float64))
 
 
@@ -287,12 +303,14 @@ class SlidingWindowEstimator:
 
         seg = self._pad_segment(imu_series)
         self.segments_np[k] = seg
-        seg_dev = ImuBatch(**{f: jnp.asarray(seg[f]) for f in ImuBatch._fields})
         _np_set(self.seg_store, k, ImuBatch(**seg))
 
         st0 = self.node_state(k)
         iewn = self._segment_iewn(self.poses[k, :3])
-        summ = self._jit_preint(seg_dev, st0, iewn)
+        # numpy leaves straight into the jit (eager jnp.asarray costs ~120 us
+        # per leaf); seg's arrays are fresh and never mutated in place after
+        # this point, so zero-copy aliasing cannot race (build_params' note)
+        summ = self._jit_preint(ImuBatch(**seg), st0, iewn)
 
         _np_set(self.preint_table.summ, k, _np_tree(summ))
         self.preint_table.idx0[k] = k
@@ -334,7 +352,11 @@ class SlidingWindowEstimator:
         return k if diffs[k] < MINIMUM_TIME_INTERVAL else -1
 
     def build_tables(self, *, ext_active=False, td_active=False,
-                     reproj_table=None, lm_valid=None) -> FactorTables:
+                     reproj_table=None, reproj_sqrt_info=1.0,
+                     lm_valid=None) -> FactorTables:
+        """reproj_table: packed (R, 18) numpy array from the caller's
+        reprojection-row assembly (see gvins._build_reproj_table for the
+        column layout), unpacked device-side; None -> empty table."""
         wc = self.wcfg
         tables = self._empty_tables
 
@@ -358,12 +380,23 @@ class SlidingWindowEstimator:
             [_pack_rows(self.preint_table.summ),
              np.asarray(self.preint_table.idx0, np.float64)[:, None],
              np.asarray(self.preint_table.valid, np.float64)[:, None]], axis=1)
-        # packed single-array conversions (both copies — aliasing-safe
-        # against the in-place-mutated mirrors; see build_params' note)
-        preint, g, node_valid, imuerr_idx, ext_a, td_a = _tables_dev_jit(
-            jnp.asarray(packed), jnp.asarray(packed_gnss), wc,
+        if reproj_table is None:
+            packed_reproj = np.zeros((wc.R, 18))
+            packed_reproj[:, 1] = 1.0
+            packed_reproj[:, 5] = 1.0
+            packed_reproj[:, 8] = 1.0
+        else:
+            packed_reproj = reproj_table
+        # packed arrays passed straight into the jit: all are FRESH
+        # np.concatenate/np.zeros outputs (copies of the in-place-mutated
+        # mirrors), so zero-copy aliasing cannot race — and the eager
+        # per-array jnp.asarray churn cost ~0.4 ms per episode
+        # (build_params' note)
+        preint, g, reproj, node_valid, imuerr_idx, ext_a, td_a = _tables_dev_jit(
+            packed, packed_gnss, wc,
             self.n_nodes, self.n_nodes - 1,
-            1.0 if ext_active else 0.0, 1.0 if td_active else 0.0)
+            1.0 if ext_active else 0.0, 1.0 if td_active else 0.0,
+            packed_reproj, np.float64(reproj_sqrt_info))
 
         pr = tables.prior._replace(imuerr_idx=imuerr_idx)
         if self.prior_cfg is not None:
@@ -381,6 +414,7 @@ class SlidingWindowEstimator:
         tables = tables._replace(
             gnss=g,
             preint=preint,
+            reproj=reproj,
             prior=pr,
             antlever=self._antlever_dev,
             node_valid=node_valid,
@@ -389,8 +423,6 @@ class SlidingWindowEstimator:
         )
         if self.marg_prior is not None:
             tables = tables._replace(marg=self.marg_prior)
-        if reproj_table is not None:
-            tables = tables._replace(reproj=reproj_table)
         if lm_valid is not None:
             tables = tables._replace(lm_valid=jnp.asarray(lm_valid))
         return tables
@@ -495,8 +527,10 @@ class SlidingWindowEstimator:
         if not need.any():
             return 0
         for k in np.nonzero(need)[0]:
+            # np.array row copies (fresh, aliasing-safe) passed straight to
+            # the jit — eager per-leaf jnp.array cost ~0.6 ms per interval
             seg_dev = jax.tree_util.tree_map(
-                lambda a: jnp.array(a[int(k)]), self.seg_store)
+                lambda a: np.array(a[int(k)]), self.seg_store)
             st0 = self.node_state(int(k))
             iewn = self._segment_iewn(self.poses[int(k), :3])
             summ = self._jit_preint(seg_dev, st0, iewn)
@@ -570,12 +604,11 @@ class SlidingWindowEstimator:
         }
         seg = self._pad_segment(merged)
         self.segments_np[k - 1] = seg
-        seg_dev = ImuBatch(**{f: jnp.asarray(seg[f]) for f in ImuBatch._fields})
         _np_set(self.seg_store, k - 1, ImuBatch(**seg))
 
         st0 = self.node_state(k - 1)
         iewn = self._segment_iewn(self.poses[k - 1, :3])
-        summ = self._jit_preint(seg_dev, st0, iewn)
+        summ = self._jit_preint(ImuBatch(**seg), st0, iewn)
 
         # shift host node arrays left over k
         n = self.n_nodes

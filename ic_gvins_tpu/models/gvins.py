@@ -25,7 +25,7 @@ from ..core import quaternion as quat
 from ..core import rotation_np
 from ..engine.config import GvinsConfig, NORMAL_GRAVITY
 from ..factors import marginalization as marg
-from ..solver.problem import ReprojTable, WindowConfig
+from ..solver.problem import WindowConfig
 from ..vision import camera as vcam
 from ..vision.map import (
     KEYFRAME_NORMAL,
@@ -426,88 +426,115 @@ class GvinsModel(GinsModel):
         reproj, _ = self._build_reproj_table(slots)
         tables = self.est.build_tables(
             ext_active=False, td_active=False,
-            reproj_table=reproj, lm_valid=lm_valid,
+            reproj_table=reproj, reproj_sqrt_info=self.reproj_sqrt_info,
+            lm_valid=lm_valid,
         )
         params = self.est.build_params(invdepths=invdepths)
         return tables, params
 
     def _build_reproj_table(self, slots):
-        """addReprojectionFactors (ic_gvins.cc:1763-1837)."""
+        """addReprojectionFactors (ic_gvins.cc:1763-1837).
+
+        Frame-major vectorized assembly: one python pass over the assigned
+        landmarks for the reference-side info, then one pass over the ~10
+        window keyframes whose feature dicts are matched against the
+        landmark set with searchsorted and filtered in numpy. The previous
+        landmark-major walk iterated every landmark's FULL observation list
+        (which grows with landmark age — every tracked frame appends, not
+        just keyframes), costing ~3.6 ms/episode on the host path and
+        scaling badly over long replays."""
         wc = self.wcfg
-        rows = dict(ref_idx=[], obs_idx=[], lm_idx=[], pts0=[], pts1=[],
-                    vel0=[], vel1=[], td0=[], td1=[])
-        # collect undistorted pixels, ONE batched pixel2cam at the end (the
-        # per-row call was ~90 numpy camera dispatches per frame)
+        est = self.est
+        R = wc.R
+        n_nodes = est.n_nodes
+        times = est.times[:n_nodes]
+
+        # ---- landmark-side reference info (one entry per assigned slot) ----
+        lm_ids, l_slots, l_stamps, l_p0, l_v0, l_td0 = [], [], [], [], [], []
         for lm_id, slot in slots.items():
             lm = self.vmap.landmarks[lm_id]
             ref = lm.ref_frame
-            ref_node = self.est._node_index_of_time(ref.stamp)
-            if ref_node < 0:
-                continue
             ref_obs = ref.features.get(lm_id)
             if ref_obs is None:
                 continue
-            for obs in lm.observations:
-                f = obs.frame
-                if obs.outlier or f is ref or not f.is_keyframe:
+            lm_ids.append(lm_id)
+            l_slots.append(slot)
+            l_stamps.append(ref.stamp)
+            l_p0.append(ref_obs.undis)
+            l_v0.append(ref_obs.velocity)
+            l_td0.append(ref.td)
+
+        parts = []
+        if lm_ids:
+            lm_ids_a = np.asarray(lm_ids, np.int64)
+            l_slots_a = np.asarray(l_slots, np.int32)
+            l_p0_a = np.asarray(l_p0)
+            l_v0_a = np.asarray(l_v0)
+            l_td0_a = np.asarray(l_td0)
+            d = np.abs(times[None, :] - np.asarray(l_stamps)[:, None])
+            l_refnode = d.argmin(axis=1).astype(np.int32)
+            l_refok = d[np.arange(len(lm_ids)), l_refnode] < MINIMUM_TIME_INTERVAL
+            order = np.argsort(lm_ids_a, kind="stable")
+            sorted_ids = lm_ids_a[order]
+
+            # ---- frame-major walk over the window keyframes ----
+            for kf_id in sorted(self.vmap.keyframes.keys()):
+                f = self.vmap.keyframes[kf_id]
+                nf = len(f.features)
+                if not f.is_keyframe or nf == 0:
                     continue
-                if not self.vmap.is_keyframe_in_map(f):
+                dn = np.abs(times - f.stamp)
+                node = int(dn.argmin())
+                if dn[node] >= MINIMUM_TIME_INTERVAL:
                     continue
-                obs_node = self.est._node_index_of_time(f.stamp)
-                if obs_node < 0 or obs_node == ref_node:
+                ids = np.fromiter(f.features.keys(), np.int64, nf)
+                pos = np.searchsorted(sorted_ids, ids)
+                ok = pos < len(sorted_ids)
+                loc = order[np.minimum(pos, len(order) - 1)]
+                # matched, live, and not the landmark's own reference node
+                # (f is ref implies the same stamp hence the same node)
+                ok &= (lm_ids_a[loc] == ids) & l_refok[loc]
+                ok &= np.fromiter(
+                    (not o.outlier for o in f.features.values()), bool, nf)
+                ok &= l_refnode[loc] != node
+                if not ok.any():
                     continue
-                if len(rows["ref_idx"]) >= wc.R:
-                    break
-                rows["ref_idx"].append(ref_node)
-                rows["obs_idx"].append(obs_node)
-                rows["lm_idx"].append(slot)
-                rows["pts0"].append(ref_obs.undis)
-                rows["pts1"].append(obs.undis)
-                rows["vel0"].append([ref_obs.velocity[0], ref_obs.velocity[1], 0.0])
-                rows["vel1"].append([obs.velocity[0], obs.velocity[1], 0.0])
-                rows["td0"].append(ref.td)
-                rows["td1"].append(f.td)
-        if rows["ref_idx"]:
-            rows["pts0"] = list(vcam.pixel2cam(self.camera, np.asarray(rows["pts0"])))
-            rows["pts1"] = list(vcam.pixel2cam(self.camera, np.asarray(rows["pts1"])))
+                sel = np.nonzero(ok)[0]
+                und = np.asarray([o.undis for o in f.features.values()])
+                vel = np.asarray([o.velocity for o in f.features.values()])
+                parts.append((loc[sel], np.int32(node), und[sel], vel[sel],
+                              np.float64(f.td)))
 
-        # assemble padded tables in numpy, ONE device conversion per array:
-        # eager .at[:nrows].set compiles a fresh scatter program for every
-        # distinct row count (hundreds of XLA compiles over a replay)
-        nrows = len(rows["ref_idx"])
-        R = wc.R
+        nrows = min(sum(len(p[0]) for p in parts), R)
 
-        def pad2(vals, fill):
-            out = np.full((R, 3), 0.0)
-            out[:, 2] = fill
-            if nrows:
-                out[:nrows] = np.asarray(vals)
-            return jnp.asarray(out)
-
-        def pad1(vals, dtype=np.float64):
-            out = np.zeros(R, dtype)
-            if nrows:
-                out[:nrows] = np.asarray(vals, dtype)
-            return jnp.asarray(out)
-
-        obs_idx = np.ones(R, np.int32)
+        # assemble ONE packed (R, 18) numpy array — columns [ref_idx,
+        # obs_idx, lm_idx, pts0(3), pts1(3), vel0(3), vel1(3), td0, td1,
+        # valid] — the estimator's _tables_dev_jit unpacks it device-side.
+        # Eleven eager per-leaf jnp.asarray conversions cost ~1.3 ms/episode
+        # of pure dispatch; one packed jit argument costs ~0.15 ms.
+        packed = np.zeros((R, 18))
+        packed[:, 1] = 1.0   # obs_idx padding
+        packed[:, 5] = 1.0   # pts0 z
+        packed[:, 8] = 1.0   # pts1 z
         if nrows:
-            obs_idx[:nrows] = np.asarray(rows["obs_idx"], np.int32)
-        t = ReprojTable(
-            ref_idx=pad1(rows["ref_idx"], np.int32),
-            obs_idx=jnp.asarray(obs_idx),
-            lm_idx=pad1(rows["lm_idx"], np.int32),
-            pts0=pad2(rows["pts0"], 1.0),
-            pts1=pad2(rows["pts1"], 1.0),
-            vel0=pad2(rows["vel0"], 0.0),
-            vel1=pad2(rows["vel1"], 0.0),
-            td0=pad1(rows["td0"]),
-            td1=pad1(rows["td1"]),
-            valid=jnp.asarray((np.arange(R) < nrows).astype(np.float64)),
-            sqrt_info=jnp.asarray(self.reproj_sqrt_info),
-            robust=jnp.ones(()),
-        )
-        return t, nrows
+            loc_all = np.concatenate([p[0] for p in parts])[:nrows]
+            obs_all = np.concatenate(
+                [np.full(len(p[0]), p[1], np.int32) for p in parts])[:nrows]
+            und_all = np.concatenate([p[2] for p in parts])[:nrows]
+            vel_all = np.concatenate([p[3] for p in parts])[:nrows]
+            td1_all = np.concatenate(
+                [np.full(len(p[0]), p[4]) for p in parts])[:nrows]
+            packed[:nrows, 0] = l_refnode[loc_all]
+            packed[:nrows, 1] = obs_all
+            packed[:nrows, 2] = l_slots_a[loc_all]
+            packed[:nrows, 3:6] = vcam.pixel2cam(self.camera, l_p0_a[loc_all])
+            packed[:nrows, 6:9] = vcam.pixel2cam(self.camera, und_all)
+            packed[:nrows, 9:11] = l_v0_a[loc_all]
+            packed[:nrows, 12:14] = vel_all
+            packed[:nrows, 15] = l_td0_a[loc_all]
+            packed[:nrows, 16] = td1_all
+            packed[:nrows, 17] = 1.0
+        return packed, nrows
 
     def _optimize_visual(self):
         est = self.est
@@ -524,6 +551,7 @@ class GvinsModel(GinsModel):
             ext_active=self.cfg.optimize_estimate_extrinsic and estimating,
             td_active=self.cfg.optimize_estimate_td and estimating,
             reproj_table=reproj,
+            reproj_sqrt_info=self.reproj_sqrt_info,
             lm_valid=lm_valid,
         )
         params = est.build_params(invdepths=invdepths)

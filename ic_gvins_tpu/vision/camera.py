@@ -93,19 +93,28 @@ def distort_points(cam: PinholeCamera, px):
     return cam2pixel(cam, xp.concatenate([xy, xp.ones_like(xy[..., :1])], axis=-1))
 
 
-def undistort_points(cam: PinholeCamera, px, iters=8):
+def undistort_points(cam: PinholeCamera, px, iters=5):
     """Distorted pixel -> undistorted pixel via fixed-point inversion (the
-    cv::undistortPoints iteration, camera.cc:72-74)."""
+    cv::undistortPoints iteration, camera.cc:72-74; cv runs 5 iterations).
+
+    x/y are kept as separate arrays with Horner-form radial polynomial: the
+    host frame path calls this several times per frame and numpy dispatch
+    overhead (not FLOPs) dominates — the stacked form cost ~40% more."""
     xp = _ns(px)
     pd = pixel2cam(cam, px)[..., :2]
-    xy = pd
+    pdx, pdy = pd[..., 0], pd[..., 1]
+    x, y = pdx, pdy
     for _ in range(iters):
-        x, y = xy[..., 0], xy[..., 1]
-        r2 = x * x + y * y
-        rr = 1.0 + cam.k1 * r2 + cam.k2 * r2 * r2 + cam.k3 * r2 * r2 * r2
-        dx = 2 * cam.p1 * x * y + cam.p2 * (r2 + 2 * x * x)
-        dy = cam.p1 * (r2 + 2 * y * y) + 2 * cam.p2 * x * y
-        xy = xp.stack([(pd[..., 0] - dx) / rr, (pd[..., 1] - dy) / rr], axis=-1)
+        x2 = x * x
+        y2 = y * y
+        r2 = x2 + y2
+        rr = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+        xy2 = 2.0 * x * y
+        dx = cam.p1 * xy2 + cam.p2 * (r2 + 2.0 * x2)
+        dy = cam.p1 * (r2 + 2.0 * y2) + cam.p2 * xy2
+        x = (pdx - dx) / rr
+        y = (pdy - dy) / rr
+    xy = xp.stack([x, y], axis=-1)
     return cam2pixel(cam, xp.concatenate([xy, xp.ones_like(xy[..., :1])], axis=-1))
 
 

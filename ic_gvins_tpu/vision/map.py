@@ -37,11 +37,15 @@ class Observation:
     __slots__ = ("frame", "lm_id", "undis", "dis", "velocity", "outlier", "ftype")
 
     def __init__(self, frame, lm_id, undis, dis, velocity, ftype):
+        # contract: undis/dis/velocity are f64 numpy rows owned by the caller
+        # and never mutated afterwards (the tracker builds them as fresh
+        # per-frame arrays). The per-field np.asarray conversions cost ~0.4 ms
+        # per frame at 100+ observations on the host path.
         self.frame = frame
         self.lm_id = lm_id
-        self.undis = np.asarray(undis, np.float64)
-        self.dis = np.asarray(dis, np.float64)
-        self.velocity = np.asarray(velocity, np.float64)
+        self.undis = undis
+        self.dis = dis
+        self.velocity = velocity
         self.outlier = False
         self.ftype = ftype
 

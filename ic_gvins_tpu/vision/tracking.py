@@ -65,6 +65,15 @@ _ransac_jit = jax.jit(ransac.fundamental_ransac)
 _tri_jit = jax.jit(ransac.triangulate_batch)
 
 
+@jax.jit
+def _undis_jit(cam_vec, pts):
+    """Batched iterative undistortion with camera params as a traced vector
+    (fx..p2 packed): one fused dispatch instead of the ~110 numpy ops of the
+    host-path loop (~0.33 ms -> ~0.05 ms per call on the frame path)."""
+    c = cam.PinholeCamera(*[cam_vec[i] for i in range(10)], width=0, height=0)
+    return cam.undistort_points(c, pts)
+
+
 def _detect_body(img, mask, counts, block_rows, block_cols, per_block, min_distance):
     corners, resp, valid = feat.detect_blockwise(
         img, mask, counts, block_rows=block_rows, block_cols=block_cols,
@@ -124,17 +133,22 @@ class Tracker:
         self.histogram = 0.0
         self.passed_cnt = 0
 
-        # reference-track feature lists (host). und_* mirror pts_* with
-        # cached undistorted pixels: the 8-iteration numpy undistortion was
-        # recomputed for the SAME distorted points 5+ times per frame
-        # (~1.6 ms/frame of the host budget)
-        self.pts_ref = []      # distorted px in the feature's reference frame
-        self.pts_new = []      # distorted px at the latest tracked frame
-        self.und_ref = []      # undistorted px of pts_ref (cache)
-        self.und_new = []      # undistorted px of pts_new (cache)
-        self.und_cur = np.zeros((0, 2))  # undistorted px of pts_cur (cache)
-        self.ref_frames = []   # VFrame the feature was created in
-        self.vel_ref = []      # normalized-plane velocity at reference
+        # reference-track feature table (host): struct-of-arrays numpy, one
+        # row per live feature. und_* mirror pts_* with cached undistorted
+        # pixels (recomputing the iterative undistortion for the SAME points
+        # 5+ times per frame cost ~1.6 ms/frame); ref_ids mirrors
+        # ref_frames[k].id so per-feature "is newer than the reference
+        # keyframe" checks are single vectorized compares instead of python
+        # attribute walks (round-4 host profile: the per-feature list
+        # comprehensions were ~3 ms/frame of the 10.7 ms host budget)
+        self.pts_ref = np.zeros((0, 2))   # distorted px in the ref frame
+        self.pts_new = np.zeros((0, 2))   # distorted px at latest tracked frame
+        self.und_ref = np.zeros((0, 2))   # undistorted px of pts_ref (cache)
+        self.und_new = np.zeros((0, 2))   # undistorted px of pts_new (cache)
+        self.und_cur = np.zeros((0, 2))   # undistorted px of pts_cur (cache)
+        self.ref_frames = np.zeros(0, object)  # VFrame the feature was created in
+        self.ref_ids = np.zeros(0, np.int64)   # ref_frames[k].id mirror
+        self.vel_ref = np.zeros((0, 2))   # normalized-plane velocity at ref
 
         self.parallax_map = 0.0
         self.parallax_map_counts = 0
@@ -157,6 +171,9 @@ class Tracker:
         self._jit_tri = _tri_jit
         self._detect_static = (self.block_rows, self.block_cols,
                                self.per_block, self.min_pixel_distance)
+        self._cam_vec = jnp.asarray([
+            camera.fx, camera.fy, camera.cx, camera.cy, camera.skew,
+            camera.k1, camera.k2, camera.k3, camera.p1, camera.p2])
 
     def _jit_detect(self, img, pts, wts, counts):
         return _detect_jit(img, pts, wts, counts, *self._detect_static)
@@ -173,9 +190,17 @@ class Tracker:
     # conversion, thousands per second of pure latency at 200 features
 
     def _undis(self, pts):
-        if len(pts) == 0:
+        n = len(pts)
+        if n == 0:
             return np.zeros((0, 2))
-        return cam.undistort_points(self.cam, np.asarray(pts, np.float64))
+        # fixed-shape padded device call (varying shapes would recompile per
+        # distinct count); cx/cy padding keeps the fixed point at the origin
+        m = self.F_MAX
+        if n > m:  # degenerate oversize: fall back to host math
+            return cam.undistort_points(self.cam, np.asarray(pts, np.float64))
+        buf = np.tile(np.array([self.cam.cx, self.cam.cy]), (m, 1))
+        buf[:n] = pts
+        return np.asarray(_undis_jit(self._cam_vec, buf))[:n]
 
     def _dis(self, pts):
         if len(pts) == 0:
@@ -223,9 +248,14 @@ class Tracker:
         (overflow slots are shed as failed tracks).
         Returns [(next (n,2) f64, ok (n,) bool), ...]."""
         n = self.F_MAX
-        pp = np.zeros((n, 2))
-        pd = np.zeros((n, 2))
-        v = np.zeros(n)
+        # f32/bool numpy temporaries passed DIRECTLY to the jit: an eager
+        # jnp.asarray costs ~120 us of dispatch per array on CPU, while the
+        # jit's own argument conversion is ~20 us — and these are fresh
+        # per-call arrays never mutated afterwards, so the zero-copy
+        # aliasing hazard (see estimator.build_params) cannot bite
+        pp = np.zeros((n, 2), np.float32)
+        pd = np.zeros((n, 2), np.float32)
+        v = np.zeros(n, bool)
         offs = []
         off = 0
         for p, q in sets:
@@ -234,12 +264,9 @@ class Tracker:
             if k:
                 pp[off : off + k] = p[:k]
                 pd[off : off + k] = q[:k]
-                v[off : off + k] = 1.0
+                v[off : off + k] = True
             off += k
-        nxt, ok = self._jit_lk(
-            self.pyr_pre, self.pyr_cur, jnp.asarray(pp, jnp.float32),
-            jnp.asarray(pd, jnp.float32), jnp.asarray(v, bool),
-        )
+        nxt, ok = self._jit_lk(self.pyr_pre, self.pyr_cur, pp, pd, v)
         nxt = np.asarray(nxt, np.float64)
         okn = np.asarray(ok)
         out = []
@@ -288,7 +315,7 @@ class Tracker:
         self.frame_pre = self.frame_cur
         self.frame_cur = frame
         self.pyr_pre = self.pyr_cur
-        self.pyr_cur = self._jit_pyr(jnp.asarray(image, jnp.float32))
+        self.pyr_cur = self._jit_pyr(np.ascontiguousarray(image, np.float32))
         frame.pyr = self.pyr_cur  # frames own their pyramid for re-detection
 
         if self.initializing:
@@ -302,7 +329,7 @@ class Tracker:
             self.features_detection(self.frame_ref, ismask=False)
             return TRACK_FIRST_FRAME
 
-        if not self.pts_ref:
+        if len(self.pts_ref) == 0:
             # nothing detected on the previous reference: re-reference to
             # the LIVE frame (the reference always detects on the newest
             # image, tracking.cc:115-133). Detecting on the stale frame_ref
@@ -458,14 +485,13 @@ class Tracker:
     def _prepare_reference_tracking(self):
         self.parallax_ref = 0.0
         self.parallax_ref_counts = 0
-        if not self.pts_new:
+        if len(self.pts_new) == 0:
             return None
 
-        pts_new = np.asarray(self.pts_new)
+        pts_new = self.pts_new
         # rotation-compensated prediction (cached undistortion)
         r_cur_pre = self.frame_cur.R.T @ self.frame_pre.R
-        und = np.asarray(self.und_new)
-        pc_pre = self._pixel2cam(und)
+        pc_pre = self._pixel2cam(self.und_new)
         pc_cur = pc_pre @ r_cur_pre.T
         xy = cam.distort_normalized(self.cam, pc_cur[:, :2] / pc_cur[:, 2:3])
         pred = cam.cam2pixel(self.cam, np.concatenate([xy, np.ones((len(xy), 1))], axis=1))
@@ -473,40 +499,37 @@ class Tracker:
 
     def _finish_reference_tracking(self, pts_new, nxt, ok):
         self._reduce(ok)
-        if not self.pts_new:
+        if len(self.pts_new) == 0:
             return False
         pts_cur = nxt[ok]
 
-        und_new = np.asarray(self.und_new)
+        und_new = self.und_new
         und_cur = self._undis(pts_cur)
 
         dt = self.frame_cur.stamp - self.frame_pre.stamp
         pc_new = self._pixel2cam(und_new)
         pc_c = self._pixel2cam(und_cur)
         vel_cur = (pc_c[:, :2] - pc_new[:, :2]) / dt
-        for k in range(len(self.pts_new)):
-            if self.ref_frames[k].id > self.frame_ref.id:
-                self.vel_ref[k] = vel_cur[k].copy()
+        newer = self.ref_ids > self.frame_ref.id
+        if newer.any():
+            self.vel_ref[newer] = vel_cur[newer]
 
         # parallax over features referenced to the tracking reference keyframe
-        sel = [k for k in range(len(self.pts_new)) if self.ref_frames[k] is self.frame_ref]
-        if sel:
-            und_ref = np.asarray([self.und_ref[k] for k in sel])
+        sel = self.ref_ids == self.frame_ref.id
+        nsel = int(sel.sum())
+        if nsel:
             par = self._keypoint_parallax(
-                und_ref, und_cur[sel], self.frame_ref.R, self.frame_cur.R
+                self.und_ref[sel], und_cur[sel], self.frame_ref.R, self.frame_cur.R
             )
             self.parallax_ref = float(par.mean())
-            self.parallax_ref_counts = len(sel)
+            self.parallax_ref_counts = nsel
 
         # fundamental RANSAC (tracking.cc:547-555)
         if len(pts_cur) >= 15:
-            N = self.F_MAX
             p0, v0 = self._pad(und_new)
             p1, _ = self._pad(und_cur)
-            inl, _ = self._jit_ransac(
-                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(v0),
-                jnp.asarray(self.reproj_std)
-            )
+            # numpy args straight into the jit (see _lk_fused's note)
+            inl, _ = self._jit_ransac(p0, p1, v0, np.float64(self.reproj_std))
             keep = np.asarray(inl)[: len(pts_cur)]
             pts_cur = pts_cur[keep]
             und_cur = und_cur[keep]
@@ -517,10 +540,10 @@ class Tracker:
             return False
 
         self.vel_cur = vel_cur
-        self.pts_cur = [p for p in pts_cur]
+        self.pts_cur = pts_cur
         self.und_cur = und_cur
-        self.pts_new = [p.copy() for p in pts_cur]
-        self.und_new = [u.copy() for u in und_cur]
+        self.pts_new = pts_cur.copy()
+        self.und_new = und_cur.copy()
         return True
 
     def check_keyframe_state(self):
@@ -556,42 +579,55 @@ class Tracker:
 
     def triangulation(self):
         """tracking.cc:690-798."""
-        if not getattr(self, "pts_cur", None):
+        pts_cur = getattr(self, "pts_cur", None)
+        if pts_cur is None or len(pts_cur) == 0:
             return False
         if len(self.ref_frames) != len(self.pts_cur):
             # pts_cur is stale: reference tracking early-returned this frame
             # (e.g. every track lost in a blackout) after _reduce emptied
             # the per-feature lists — nothing coherent to triangulate.
             # pts_ref/pts_new/ref_frames/vel_ref remain mutually consistent.
-            self.pts_cur = []
+            self.pts_cur = np.zeros((0, 2))
             return False
 
         n = len(self.pts_cur)
-        und_ref = np.asarray(self.und_ref)
-        und_cur = np.asarray(self.und_cur)
+        und_ref = self.und_ref
+        und_cur = self.und_cur
 
-        keep = np.zeros(n, bool)
-        tri_idx = []
         # batched rotation-compensated parallax for ALL candidates in one
         # numpy pass (was one device round-trip per feature)
         ref_R = np.stack([f.R for f in self.ref_frames])
         par_all = self._keypoint_parallax(und_ref, und_cur, ref_R, self.frame_cur.R)
-        for k in range(n):
-            fref = self.ref_frames[k]
-            if fref.id > self.frame_ref.id:
-                # feature added mid-stream: re-reference to the current frame
-                self.ref_frames[k] = self.frame_cur
-                self.pts_ref[k] = self.pts_cur[k].copy()
-                self.und_ref[k] = und_cur[k].copy()
-                keep[k] = True
-                continue
-            if self.map.is_window_normal() and fref.kf_id is not None and not self.map.is_keyframe_in_map(fref):
-                keep[k] = False
-                continue
-            if par_all[k] < TRACK_MIN_PARALLAX:
-                keep[k] = True
-                continue
-            tri_idx.append(k)
+
+        # classify every feature in vectorized passes (the per-feature python
+        # walk was ~2 ms/call on the host path):
+        #   newer than the reference keyframe -> re-reference to current
+        #   reference keyframe dropped from the map -> cull
+        #   below the triangulation parallax -> keep as-is
+        #   else -> triangulation candidate
+        newer = self.ref_ids > self.frame_ref.id
+        dropped = np.zeros(n, bool)
+        if self.map.is_window_normal():
+            old_idx = np.nonzero(~newer)[0]
+            if len(old_idx):
+                uids, first = np.unique(self.ref_ids[old_idx], return_index=True)
+                bad = []
+                for u, fi in zip(uids, first):
+                    f = self.ref_frames[old_idx[fi]]
+                    if f.kf_id is not None and not self.map.is_keyframe_in_map(f):
+                        bad.append(u)
+                if bad:
+                    dropped = np.isin(self.ref_ids, np.asarray(bad))
+        low_par = par_all < TRACK_MIN_PARALLAX
+
+        keep = newer | (~newer & ~dropped & low_par)
+        if newer.any():
+            # features added mid-stream: re-reference to the current frame
+            self.ref_frames[newer] = self.frame_cur
+            self.ref_ids[newer] = self.frame_cur.id
+            self.pts_ref[newer] = self.pts_cur[newer]
+            self.und_ref[newer] = und_cur[newer]
+        tri_idx = list(np.nonzero(~newer & ~dropped & ~low_par)[0])
 
         created = 0
         if tri_idx:
@@ -609,11 +645,8 @@ class Tracker:
             pc0p = pcp.copy(); pc0p[:m] = pc0
             pc1p = pcp.copy(); pc1p[:m] = pc1
             pw = np.asarray(
-                self._jit_tri(
-                    jnp.asarray(R0p), jnp.asarray(t0p),
-                    jnp.asarray(self.frame_cur.R), jnp.asarray(self.frame_cur.t),
-                    jnp.asarray(pc0p), jnp.asarray(pc1p),
-                )
+                self._jit_tri(R0p, t0p, self.frame_cur.R, self.frame_cur.t,
+                              pc0p, pc1p)
             )[:m]
             # batched two-view depth/reprojection gating (tracking.cc:813-829)
             good = self._good_to_track_batch(und_ref[idx], R0, t0, pw, 1.0, 3.0)
@@ -643,10 +676,10 @@ class Tracker:
                 self.frame_cur.unupdated_mappoints.append(lm)
 
         self._reduce(keep)
-        self.pts_cur = [self.pts_cur[k] for k in range(n) if keep[k]] if hasattr(self, "pts_cur") else []
+        self.pts_cur = self.pts_cur[keep]
         self.und_cur = und_cur[keep]
-        self.pts_new = [p.copy() for p in self.pts_cur]
-        self.und_new = [u.copy() for u in self.und_cur]
+        self.pts_new = self.pts_cur.copy()
+        self.und_new = self.und_cur.copy()
         return True
 
     def _good_to_track(self, und_px, R, t, pw, scale, depth_scale):
@@ -680,37 +713,42 @@ class Tracker:
         bw = self.cam.width // self.block_cols
         bh = self.cam.height // self.block_rows
         counts = np.zeros(self.block_rows * self.block_cols, np.int32)
-        existing = [obs.undis for obs in frame.features.values()] + list(self.pts_new)
-        if existing:
-            pe = np.asarray(existing)
-            col = np.clip((pe[:, 0] // bw).astype(np.int64), 0, self.block_cols - 1)
-            row = np.clip((pe[:, 1] // bh).astype(np.int64), 0, self.block_rows - 1)
+        feat_und = [obs.undis for obs in frame.features.values()]
+        existing = (
+            np.concatenate([np.asarray(feat_und).reshape(-1, 2), self.pts_new])
+            if feat_und else self.pts_new
+        )
+        if len(existing):
+            col = np.clip((existing[:, 0] // bw).astype(np.int64), 0, self.block_cols - 1)
+            row = np.clip((existing[:, 1] // bh).astype(np.int64), 0, self.block_rows - 1)
             np.add.at(counts, row * self.block_cols + col, 1)
 
         if not ismask:
             # fresh start on this frame (tracking.cc:662-667)
-            self.pts_ref, self.pts_new, self.ref_frames, self.vel_ref = [], [], [], []
-            self.und_ref, self.und_new = [], []
+            self._reset_tracking_state()
 
         img = getattr(frame, "pyr", self.pyr_cur)[0]
-        if ismask and existing:
-            pts, wts = self._pad(np.stack(existing))
-            corners, valid = self._jit_detect(
-                img, jnp.asarray(pts), jnp.asarray(wts), jnp.asarray(counts))
+        if ismask and len(existing):
+            pts, wts = self._pad(existing)
+            corners, valid = self._jit_detect(img, pts, wts, counts)
         else:
-            corners, valid = self._jit_detect_nomask(img, jnp.asarray(counts))
+            corners, valid = self._jit_detect_nomask(img, counts)
         cn = np.asarray(corners)[np.asarray(valid)]
 
         budget = self.max_features - num_features
-        cn = cn[:budget]
-        und_cn = self._undis(np.asarray(cn, np.float64))
-        for p, u in zip(cn, und_cn):
-            self.pts_ref.append(p.copy())
-            self.pts_new.append(p.copy())
-            self.und_ref.append(u.copy())
-            self.und_new.append(u.copy())
-            self.ref_frames.append(frame)
-            self.vel_ref.append(np.zeros(2))
+        cn = np.asarray(cn[:budget], np.float64)
+        und_cn = self._undis(cn)
+        m = len(cn)
+        if m:
+            self.pts_ref = np.concatenate([self.pts_ref, cn])
+            self.pts_new = np.concatenate([self.pts_new, cn.copy()])
+            self.und_ref = np.concatenate([self.und_ref, und_cn])
+            self.und_new = np.concatenate([self.und_new, und_cn.copy()])
+            self.ref_frames = np.concatenate(
+                [self.ref_frames, np.full(m, frame, object)])
+            self.ref_ids = np.concatenate(
+                [self.ref_ids, np.full(m, frame.id, np.int64)])
+            self.vel_ref = np.concatenate([self.vel_ref, np.zeros((m, 2))])
 
     # ------------------------------------------------------------------
     # bookkeeping
@@ -718,12 +756,13 @@ class Tracker:
 
     def _reduce(self, keep):
         keep = np.asarray(keep, bool)
-        self.pts_ref = [p for p, k in zip(self.pts_ref, keep) if k]
-        self.pts_new = [p for p, k in zip(self.pts_new, keep) if k]
-        self.und_ref = [u for u, k in zip(self.und_ref, keep) if k]
-        self.und_new = [u for u, k in zip(self.und_new, keep) if k]
-        self.ref_frames = [f for f, k in zip(self.ref_frames, keep) if k]
-        self.vel_ref = [v for v, k in zip(self.vel_ref, keep) if k]
+        self.pts_ref = self.pts_ref[keep]
+        self.pts_new = self.pts_new[keep]
+        self.und_ref = self.und_ref[keep]
+        self.und_new = self.und_new[keep]
+        self.ref_frames = self.ref_frames[keep]
+        self.ref_ids = self.ref_ids[keep]
+        self.vel_ref = self.vel_ref[keep]
 
     def _make_new_frame(self, state):
         self.frame_cur.set_keyframe(state)
@@ -741,12 +780,13 @@ class Tracker:
         return False
 
     def _reset_tracking_state(self):
-        self.pts_ref = []
-        self.pts_new = []
-        self.und_ref = []
-        self.und_new = []
+        self.pts_ref = np.zeros((0, 2))
+        self.pts_new = np.zeros((0, 2))
+        self.und_ref = np.zeros((0, 2))
+        self.und_new = np.zeros((0, 2))
         self.und_cur = np.zeros((0, 2))
-        self.ref_frames = []
-        self.vel_ref = []
-        self.pts_cur = []
+        self.ref_frames = np.zeros(0, object)
+        self.ref_ids = np.zeros(0, np.int64)
+        self.vel_ref = np.zeros((0, 2))
+        self.pts_cur = np.zeros((0, 2))
         self.vel_cur = np.zeros((0, 2))
