@@ -81,6 +81,7 @@ _CHILD_LOG = os.path.join(_HERE, ".bench_child.log")
 _DEVICE_STAGES = (
     ("frontend", 300),
     ("backend", 300),
+    ("backend_small", 240),
     ("marg", 180),
     ("preint", 120),
     ("mech", 90),
@@ -91,6 +92,7 @@ _DEVICE_STAGES = (
 _FALLBACK = {
     "frontend": 0.0194,
     "backend": 0.0222,
+    "backend_small": 0.0222,
     "marg": 0.008,
     "preint": 0.003,
     "mech": 0.003,
@@ -218,7 +220,7 @@ def bench_frontend():
     return _timed_loop(run, make_init, k=150)
 
 
-def bench_backend():
+def bench_backend(tier="full"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -228,8 +230,12 @@ def bench_backend():
     from ic_gvins_tpu.solver.problem import WindowConfig
 
     # iswithearth=true is the reference's shipped configuration
-    # (/root/reference/config/gvins.yaml:18) — measure that variant
+    # (/root/reference/config/gvins.yaml:18) — measure that variant.
+    # "small" is the fill-scaled tier the replay selects when the measured
+    # table fill fits half-size L/R (engine/estimator.py wcfg_small).
     cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=True)
+    if tier == "small":
+        cfg = cfg._replace(L=256, R=1024)
     params0, tables = ge._make_problem(cfg)
 
     @jax.jit
@@ -359,6 +365,7 @@ def bench_mech():
 _BENCH_FNS = {
     "frontend": bench_frontend,
     "backend": bench_backend,
+    "backend_small": lambda: bench_backend("small"),
     "marg": bench_marg,
     "preint": bench_preint,
     "mech": bench_mech,
@@ -463,7 +470,7 @@ def _merge_and_print(results, perf):
     stages_old = perf.get("stages") or {}
     stale = []
     vals = {}
-    for name in ("frontend", "backend", "marg", "preint", "mech"):
+    for name in ("frontend", "backend", "backend_small", "marg", "preint", "mech"):
         if name in results and "value_s" in results[name]:
             vals[name] = float(results[name]["value_s"])
         elif name in stages_old and "value_s" in stages_old[name]:
@@ -487,32 +494,77 @@ def _merge_and_print(results, perf):
     # urban38 behavior (optimization + marginalization roughly every other
     # frame) so a gentle synthetic world cannot flatter the number
     cpf = host.get("device_calls_per_frame", {})
-    kf_ratio = max(float(host.get("kf_ratio", 0.5)), 0.5)
-    marg_ratio = max(float(host.get("marg_ratio", 0.5)), 0.5)
+    kf_meas = float(host.get("kf_ratio", 0.5))
+    mr_meas = float(host.get("marg_ratio", 0.5))
+    kf_ratio = max(kf_meas, 0.5)
+    marg_ratio = max(mr_meas, 0.5)
     preint_pf = max(float(cpf.get("preint", 0.0)), kf_ratio)
     mech_pf = max(float(cpf.get("mech", 0.0)), 1.0)
-    frame_time = (vals["frontend"] + kf_ratio * vals["backend"]
-                  + marg_ratio * vals["marg"] + preint_pf * vals["preint"]
-                  + mech_pf * vals["mech"] + float(host["host_s"]))
-    fps = 1.0 / frame_time
+    host_s = float(host["host_s"])
+
+    # backend cost = tier-share-weighted mix of the full and fill-scaled
+    # solver variants (the replay selects the half-size tier host-side when
+    # the measured table fill fits — engine/estimator.py wcfg_small; the
+    # share comes from the SAME replay that provides the cadences)
+    tiers = host.get("solver_tiers") or {}
+    n_small = float(tiers.get("small", 0.0))
+    n_full = float(tiers.get("full", 0.0))
+    small_share = n_small / (n_small + n_full) if (n_small + n_full) else 0.0
+    backend_eff = (small_share * vals["backend_small"]
+                   + (1.0 - small_share) * vals["backend"])
+
+    def frame_time(kf, mr):
+        return (vals["frontend"] + kf * backend_eff + mr * vals["marg"]
+                + max(float(cpf.get("preint", 0.0)), kf) * vals["preint"]
+                + mech_pf * vals["mech"] + host_s)
+
+    fps = 1.0 / frame_time(kf_ratio, marg_ratio)
+    # secondary lines (not the headline): the same composite at the
+    # REPLAY-MEASURED cadences (PERF.json replay_cpu_e2e), and the thread-
+    # pipeline bound — the reference overlaps tracking and optimization in
+    # threads (ic_gvins.cc:156-164), so a deployment that dispatches frame
+    # k's solve async while prepping frame k+1 on host pays
+    # max(device, host) instead of their sum. Both carry provenance; the
+    # headline stays the serial floored-cadence number (conservative).
+    fps_measured = 1.0 / frame_time(kf_meas, mr_meas)
+    device_s = frame_time(kf_ratio, marg_ratio) - host_s
+    fps_pipelined = 1.0 / max(device_s, host_s)
 
     backend = (results.get("probe") or {}).get("backend", "unknown")
     detail = {
         "backend": backend,
         "frontend_ms": round(vals["frontend"] * 1000, 3),
-        "backend_ms": round(vals["backend"] * 1000, 3),
+        "backend_ms": round(backend_eff * 1000, 3),
+        "backend_full_ms": round(vals["backend"] * 1000, 3),
+        "backend_small_ms": round(vals["backend_small"] * 1000, 3),
+        "backend_small_share": round(small_share, 4),
         "marg_ms": round(vals["marg"] * 1000, 3),
         "preint_ms": round(vals["preint"] * 1000, 3),
         "mech_ms": round(vals["mech"] * 1000, 3),
-        "host_ms": round(float(host["host_s"]) * 1000, 3),
+        "host_ms": round(host_s * 1000, 3),
         "kf_ratio": kf_ratio,
         "marg_ratio": marg_ratio,
         "stale": stale,
+        "fps_measured_cadence": {
+            "value": round(fps_measured, 2),
+            "kf_ratio": round(kf_meas, 4), "marg_ratio": round(mr_meas, 4),
+            "provenance": "replay-measured cadences (PERF.json "
+                          "replay_cpu_e2e), no 0.5 floor"},
+        "fps_pipelined_bound": {
+            "value": round(fps_pipelined, 2),
+            "provenance": "1/max(device,host): full host/device overlap as "
+                          "the reference's tracking/optimization thread "
+                          "pipeline (ic_gvins.cc:156-164); modeled, not "
+                          "measured — no co-located measurement exists on "
+                          "the tunneled backend"},
         "replay_cpu_e2e": {k: host[k] for k in
                            ("host_s", "kf_ratio", "marg_ratio", "fps_cpu_e2e",
                             "frames", "episodes", "margs")
                            if k in host},
     }
+    fes = perf.get("frontend_stages")
+    if fes:
+        detail["frontend_stages"] = fes
     print(json.dumps({
         "metric": ("urban38-scale replay frames/sec (frontend + kf*two-pass "
                    "BA + marg + preint + mech + measured host cost) per chip"),
@@ -525,7 +577,8 @@ def _merge_and_print(results, perf):
     # persist fresh stage results for the next run's stale fallback
     stages_new = dict(stages_old)
     for name, entry in results.items():
-        if name in ("frontend", "backend", "marg", "preint", "mech", "host"):
+        if name in ("frontend", "backend", "backend_small", "marg", "preint",
+                    "mech", "host"):
             e = dict(entry)
             e.pop("cached", None)
             e["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")

@@ -195,8 +195,18 @@ class SlidingWindowEstimator:
         # immutable empty templates, shared across episodes (FactorTables
         # .empty allocates the full (D,D) marg-prior zeros — rebuilding it
         # per episode cost ~30 ms of pure allocation on the frame path)
-        self._empty_tables = FactorTables.empty(wcfg)
-        self._zero_params = WindowParams.zeros(wcfg)
+        self._empty_tables = {wcfg: FactorTables.empty(wcfg)}
+        self._zero_params = {wcfg: WindowParams.zeros(wcfg)}
+        # fill-scaled solver tier: the replay typically fills 10-30% of the
+        # production reprojection/landmark slots, and the solver's one-hot
+        # contractions are linear in R (solver/problem.py) — a half-size
+        # compiled variant selected host-side by measured fill roughly
+        # halves the per-episode solve. Node structure (N/G/P) is shared, so
+        # everything outside the solve (preint tables, marginalization,
+        # window bookkeeping) is tier-independent.
+        self.wcfg_small = wcfg._replace(
+            L=min(wcfg.L, max(64, wcfg.L // 2)),
+            R=min(wcfg.R, max(256, wcfg.R // 2)))
         self.marg_prior = None  # MargPrior or None
         self.prior_cfg = None   # dict for init priors or None
         self._antlever_dev = None  # lazy device copy (constant per estimator)
@@ -353,12 +363,16 @@ class SlidingWindowEstimator:
 
     def build_tables(self, *, ext_active=False, td_active=False,
                      reproj_table=None, reproj_sqrt_info=1.0,
-                     lm_valid=None) -> FactorTables:
+                     lm_valid=None, wc=None) -> FactorTables:
         """reproj_table: packed (R, 18) numpy array from the caller's
         reprojection-row assembly (see gvins._build_reproj_table for the
-        column layout), unpacked device-side; None -> empty table."""
-        wc = self.wcfg
-        tables = self._empty_tables
+        column layout), unpacked device-side; None -> empty table.
+        wc: table tier (self.wcfg or self.wcfg_small); reproj_table /
+        lm_valid must be sized to it."""
+        wc = wc or self.wcfg
+        if wc not in self._empty_tables:
+            self._empty_tables[wc] = FactorTables.empty(wc)
+        tables = self._empty_tables[wc]
 
         # GNSS rows — assembled in numpy, converted with the packed tables
         # below (eager per-slot .at[].set compiled a distinct scatter program
@@ -422,14 +436,24 @@ class SlidingWindowEstimator:
             td_active=td_a,
         )
         if self.marg_prior is not None:
-            tables = tables._replace(marg=self.marg_prior)
+            mp = self.marg_prior
+            if mp.x0.invdepths.shape[0] != wc.L:
+                # the prior is landmark-free (NP support only); x0's
+                # invdepths leaf exists only for pytree shape and its
+                # entries never reach the cost (problem.py slices the
+                # boxminus to [:lm_off]) — resize to the tier
+                mp = mp._replace(x0=mp.x0._replace(
+                    invdepths=jnp.zeros(wc.L)))
+            tables = tables._replace(marg=mp)
         if lm_valid is not None:
             tables = tables._replace(lm_valid=jnp.asarray(lm_valid))
         return tables
 
-    def build_params(self, invdepths=None) -> WindowParams:
-        wc = self.wcfg
-        p = self._zero_params
+    def build_params(self, invdepths=None, wc=None) -> WindowParams:
+        wc = wc or self.wcfg
+        if wc not in self._zero_params:
+            self._zero_params[wc] = WindowParams.zeros(wc)
+        p = self._zero_params[wc]
         # jnp.array (copy=True), NOT jnp.asarray: asarray zero-copies the
         # numpy host mirrors on CPU backends, and the window bookkeeping
         # mutates poses/mixes IN PLACE (marginalize/merge shifts) while the
@@ -459,12 +483,15 @@ class SlidingWindowEstimator:
         self.ext = np.array(params.ext)
         self.td = float(params.td)
 
-    def optimize(self, num_iterations=50, *, two_pass=False, tables=None, params=None):
-        """One optimization episode; updates host state. Returns stats."""
+    def optimize(self, num_iterations=50, *, two_pass=False, tables=None,
+                 params=None, wc=None):
+        """One optimization episode; updates host state. Returns stats.
+        wc: the tier the tables/params were built at (default full)."""
+        wc = wc or self.wcfg
         if tables is None:
-            tables = self.build_tables()
+            tables = self.build_tables(wc=wc)
         if params is None:
-            params = self.build_params()
+            params = self.build_params(wc=wc)
 
         if two_pass:
             # Dispatched as pass1 / surgery / pass2 so each pass's wall time is
@@ -478,19 +505,19 @@ class SlidingWindowEstimator:
             n2 = max(num_iterations - n1, 1)
             t0 = _time.perf_counter()
             params, s1 = jax.block_until_ready(
-                self._jit_solve(params, tables, n1))
+                _solve_jit(params, tables, wc, n1))
             t_pass1 = _time.perf_counter() - t0
             t0 = _time.perf_counter()
-            tables2, n_gnss_out, n_reproj_out = self._jit_surgery(params, tables)
+            tables2, n_gnss_out, n_reproj_out = _surgery_jit(params, tables, wc)
             params, s2 = jax.block_until_ready(
-                self._jit_solve(params, tables2, n2))
+                _solve_jit(params, tables2, wc, n2))
             t_pass2 = _time.perf_counter() - t0
             self.last_solve_times = (t_pass1, t_pass2)
             stats = (s1, s2, n_gnss_out, n_reproj_out)
             # persist GNSS std reweighting (the reference mutates gnsslist_)
             self._absorb_gnss_stds(tables2.gnss)
         else:
-            params, stats = self._jit_solve(params, tables, num_iterations)
+            params, stats = _solve_jit(params, tables, wc, num_iterations)
             tables2 = tables
         self._store_params(params)
         return params, tables2, stats

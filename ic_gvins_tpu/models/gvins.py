@@ -78,6 +78,7 @@ class GvinsModel(GinsModel):
         self.initlength_count = 0
         self.iterations = [0, 0]
         self.timecosts = [0.0, 0.0, 0.0]
+        self.tier_counts = {"small": 0, "full": 0}  # solver-tier usage
         self.outlier_counts = [0, 0]
         self._lm_slots = {}
 
@@ -546,6 +547,19 @@ class GvinsModel(GinsModel):
         slots, invdepths, lm_valid = self._assign_landmark_slots()
         reproj, nrows = self._build_reproj_table(slots)
 
+        # fill-scaled solver tier: slot assignment is compact (0..n-1), so
+        # when the measured fill fits the half-size tier the same tables
+        # simply truncate — the solver's one-hot contractions are linear in
+        # R/L and the replay typically fills 10-30% of the production slots
+        wc_small = est.wcfg_small
+        use_small = len(slots) <= wc_small.L and nrows <= wc_small.R
+        wc_used = wc_small if use_small else est.wcfg
+        if use_small:
+            reproj = reproj[: wc_small.R]
+            invdepths = invdepths[: wc_small.L]
+            lm_valid = lm_valid[: wc_small.L]
+        self.tier_counts["small" if use_small else "full"] += 1
+
         estimating = self.state == "TRACKING_NORMAL"
         tables = est.build_tables(
             ext_active=self.cfg.optimize_estimate_extrinsic and estimating,
@@ -553,14 +567,16 @@ class GvinsModel(GinsModel):
             reproj_table=reproj,
             reproj_sqrt_info=self.reproj_sqrt_info,
             lm_valid=lm_valid,
+            wc=wc_used,
         )
-        params = est.build_params(invdepths=invdepths)
+        params = est.build_params(invdepths=invdepths, wc=wc_used)
 
         params, tables2, stats = est.optimize(
             num_iterations=self.cfg.optimize_num_iterations,
             two_pass=True,
             tables=tables,
             params=params,
+            wc=wc_used,
         )
         s1, s2, n_gnss_out, n_reproj_out = stats
         self.iterations = [int(s1.iterations), int(s2.iterations)]
@@ -806,25 +822,36 @@ class GvinsModel(GinsModel):
         cur = self.vmap.keyframes[ordered[-1]]
         pre = self.vmap.keyframes[ordered[-2]]
 
-        errors = []
-        for lm_id, slot in self._lm_slots.items():
+        # one vectorized pass over all (landmark, keyframe-observation) rows
+        # instead of a numpy op chain per observation (the per-obs walk cost
+        # ~0.5-1 ms per episode at window fill)
+        Rs, ts, pws, unds, groups = [], [], [], [], []
+        for gi, (lm_id, slot) in enumerate(self._lm_slots.items()):
             lm = self.vmap.landmarks.get(lm_id)
             if lm is None or lm.outlier:
                 continue
-            obs_errs = []
             for obs in lm.observations:
                 f = obs.frame
                 if obs.outlier or not f.is_keyframe or not self.vmap.is_keyframe_in_map(f):
                     continue
-                e = np.linalg.norm(
-                    vcam.reprojection_error(self.camera, f.R, f.t, lm.pos, obs.undis)
-                )
-                obs_errs.append(e)
-            if obs_errs:
-                errors.append(np.mean(obs_errs))
-        if not errors:
-            errors = [0.0]
-        errors = np.asarray(errors)
+                Rs.append(f.R)
+                ts.append(f.t)
+                pws.append(lm.pos)
+                unds.append(obs.undis)
+                groups.append(gi)
+        if Rs:
+            pc = np.einsum("nji,nj->ni", np.stack(Rs),
+                           np.stack(pws) - np.stack(ts))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = vcam.cam2pixel(self.camera, pc)
+            e = np.linalg.norm(proj - np.stack(unds), axis=-1)
+            groups = np.asarray(groups)
+            uniq, inv = np.unique(groups, return_inverse=True)
+            sums = np.bincount(inv, weights=e)
+            cnts = np.bincount(inv)
+            errors = sums / cnts
+        else:
+            errors = np.asarray([0.0])
         self.out.write_statistics(
             [
                 cur.stamp,

@@ -30,6 +30,22 @@ Per-feature body:
     (tracking.cc:387-388)
 
 Grid: one program per feature; corners arrive via scalar prefetch.
+
+Round-5 negative results (a fully fused bidirectional multi-level kernel —
+one pallas_call instead of 8 — was built and measured SLOWER, then removed):
+  - call fusion bought nothing: per-call staging/grid overhead is small
+    against the serial per-feature while_loops that dominate;
+  - replacing the per-iteration full-block rolls with a (32,256) VMEM load
+    at the current integer row (dynamic 8-aligned sublane offset) was ~2x
+    SLOWER per iteration — dynamic-offset vector loads cost more than
+    register rotates on this target;
+  - shrinking the rolled array (lane-aligning once into a (48,128) register
+    crop, then rolling only the drift) did not help either: the body is
+    LATENCY-bound on the scalar->vector dependency chain, not
+    vreg-count-bound, so halving the rolled bytes left the time unchanged.
+Benchmark worlds must keep the pyramid CONSISTENT (build both pyramids from
+level-0 images): rolling each level by the same pixel offset puts the
+coarse-cascade guess ~14 px off at level 0 and inflates LK ~2x.
 """
 
 import functools

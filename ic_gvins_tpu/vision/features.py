@@ -121,7 +121,20 @@ def detect_blockwise(
     bmax = jnp.max(blocks, axis=1, keepdims=True)
     blocks = jnp.where(blocks >= quality_level * bmax, blocks, 0.0)
 
-    top_val, top_idx = jax.lax.top_k(blocks, per_block)
+    # top-k by per_block rounds of (max, argmax, knock out): after NMS the
+    # candidates are sparse and per_block is tiny (~7), so k linear passes
+    # beat lax.top_k's sort-based lowering on the ~40k-element blocks
+    col = jnp.arange(blocks.shape[1], dtype=jnp.int32)[None, :]
+    vals, idxs = [], []
+    work = blocks
+    for _ in range(per_block):
+        v = jnp.max(work, axis=1)
+        i = jnp.argmax(work, axis=1).astype(jnp.int32)
+        vals.append(v)
+        idxs.append(i)
+        work = jnp.where(col == i[:, None], 0.0, work)
+    top_val = jnp.stack(vals, axis=1)
+    top_idx = jnp.stack(idxs, axis=1)
 
     # slot budget per block: per_block - existing features
     budget = jnp.maximum(per_block - block_counts, 0)

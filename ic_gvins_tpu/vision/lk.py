@@ -260,7 +260,10 @@ def track_bidirectional(pyr_prev, pyr_next, pts_prev, pts_pred, valid,
     backward track returns within fb_threshold px of the start, and the
     forward point is inside the 5-px border."""
     fwd, st_f = pyr_lk(pyr_prev, pyr_next, pts_prev, pts_pred, valid, levels)
-    bwd, st_b = pyr_lk(pyr_next, pyr_prev, fwd, pts_prev, valid, levels)
+    # gate the backward track by forward success: a failed-forward feature
+    # is culled either way (ok requires st_f below), and the gate lets the
+    # pallas kernel's per-feature while_loops exit immediately
+    bwd, st_b = pyr_lk(pyr_next, pyr_prev, fwd, pts_prev, valid & st_f, levels)
     H, W = pyr_next[0].shape
     dist = jnp.linalg.norm(bwd - pts_prev, axis=-1)
     on_border = (

@@ -13,21 +13,40 @@ import jax.numpy as jnp
 _PYR_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _decim_matrix(n, n2):
+    """(n+4, n2) banded decimating-blur operator: column j holds the 5-tap
+    cv::pyrDown kernel centered at source index 2j (in the 2-padded frame).
+    Cached as NUMPY (a cached device array leaks tracers when the first
+    call happens inside a trace); the jnp conversion at the use site folds
+    into a compile-time constant."""
+    import numpy as np
+
+    M = np.zeros((n + 4, n2), np.float32)
+    k = np.asarray(_PYR_K)
+    for j in range(n2):
+        M[2 * j : 2 * j + 5, j] = k
+    return M
+
+
 def pyr_down(img):
     """One pyramid level down: 5x5 Gaussian (separable) + 2x decimation.
 
-    Written as strided slice multiply-adds, NOT lax.conv: a C=1 convolution
-    pads the channel dim onto (8,128) MXU tiles and wastes >99% of the
-    array (measured 2.7 ms for the 4-level pyramid at 1278x1022; the slice
-    form is pure VPU elementwise work). Decimation happens between the
-    passes — the passes are axis-independent, so this equals
-    blur-then-[::2,::2] while doing a quarter of the column-pass work."""
+    Written as two banded-matrix MXU matmuls (rows then columns): the
+    round-4 strided-slice form (p[k::2] multiply-adds) forces five
+    lane-strided relayouts per axis on TPU — measured as the bulk of a
+    ~5 ms/frame pyramid cost once DCE-proof benchmarks landed (round 5).
+    The dense banded operator is ~1 GFLOP at 1278x1022, trivial on the
+    MXU, and numerically identical modulo f32 summation order."""
     img = img.astype(jnp.float32)
     H, W = img.shape
     H2, W2 = (H - 1) // 2 + 1, (W - 1) // 2 + 1
     p = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")
-    v = sum(_PYR_K[k] * p[k::2][:H2] for k in range(5))
-    return sum(_PYR_K[k] * v[:, k::2][:, :W2] for k in range(5))
+    v = jnp.asarray(_decim_matrix(H, H2)).T @ p   # (H2, W+4)
+    return v @ jnp.asarray(_decim_matrix(W, W2))  # (H2, W2)
 
 
 def build_pyramid(img, levels=4):
@@ -116,11 +135,17 @@ def clahe(img, clip_limit=3.0, tile=21, nbins=256):
     uint8-valued (0..255) image (any float/int dtype); output f32 in
     [0, 255], accurate to ±0.5 gray level (the reference's uint8 rounding).
 
-    TPU-native formulation — no gathers anywhere: per-tile histograms by
-    scatter-add over tiny tables, and the transfer lookup as a bf16 one-hot
-    contraction against the 3x3 neighbor LUT stack on the MXU, blended with
-    separable bilinear weights. ~17x faster than the natural per-pixel
-    LUT-gather formulation on TPU.
+    TPU-native formulation — no gathers anywhere, and every per-pixel array
+    keeps PIXELS ON THE MINOR (lane) AXIS. Pixel values are split into
+    16x16 (hi, lo) nibbles: the histogram is the batched outer-product
+    contraction of the two transposed one-hots on the MXU
+    (hist2d[t,h,l] = #pixels with value 16h+l, exact in f32), and the
+    9-neighbor LUT lookup contracts hi on the MXU then lo as a fused
+    broadcast-multiply reduce. Round-5 lesson: the previous form
+    materialized a (T, P, 256) bf16 one-hot (~675 MB x 3 HBM passes at
+    1278x1022, ~2.5 ms), and an intermediate (T, P, 16, 9) rewrite was no
+    better — minor dims of 9/16 pad to 128 lanes, so one einsum alone cost
+    ~4.6 ms. The transposed (…, P) layout removes both (~4x total).
     """
     img = jnp.clip(img.astype(jnp.float32), 0.0, 255.0)
     H, W = img.shape
@@ -129,13 +154,15 @@ def clahe(img, clip_limit=3.0, tile=21, nbins=256):
     Hp, Wp = th * ty, tw * tx
     padded = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
 
-    # pixels grouped by tile + the (T, P, 256) one-hot used BOTH for the
-    # histograms (reduction over pixels — scatter-adds serialize on TPU and
-    # dominated the whole frontend) and the LUT lookup below
     v = jnp.clip(padded.astype(jnp.int32), 0, nbins - 1)
     v = v.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(ty * tx, th * tw)
-    onehot = jax.nn.one_hot(v, nbins, dtype=jnp.bfloat16)
-    hist = jnp.sum(onehot, axis=1, dtype=jnp.float32)
+    nib = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+    a_hi = ((v[:, None, :] >> 4) == nib).astype(jnp.bfloat16)  # (T, 16, P)
+    a_lo = ((v[:, None, :] & 15) == nib).astype(jnp.bfloat16)  # (T, 16, P)
+    hist2d = jax.lax.dot_general(
+        a_hi, a_lo, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                    # (T, 16, 16)
+    hist = hist2d.reshape(ty * tx, nbins)
 
     # clip + redistribute (cv semantics: clipLimit scaled by tile area / bins)
     limit = jnp.maximum(clip_limit * (th * tw) / nbins, 1.0)
@@ -147,8 +174,11 @@ def clahe(img, clip_limit=3.0, tile=21, nbins=256):
     lut = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1.0) * 255.0
     lut = lut.reshape(ty, tx, nbins)
 
-    # all 9 neighbor-LUT lookups per pixel in one batched
-    # (T, P, 256) x (T, 256, 9) matmul over the one-hot pixel values
+    # all 9 neighbor-LUT lookups per pixel via the nibble split: one
+    # hi-nibble MXU matmul against the (T, 16, 16*9) LUT stack (bf16 — the
+    # same quantization cv's uint8 LUT carries, ~+-0.5 gray), then the
+    # lo-nibble reduce as a fused multiply over the SECOND-minor axis —
+    # the (T, 16, 9, P) product never hits HBM at lane width.
     lutp = jnp.pad(lut, ((1, 1), (1, 1), (0, 0)), mode="edge")
     lut9 = jnp.stack(
         [
@@ -157,12 +187,41 @@ def clahe(img, clip_limit=3.0, tile=21, nbins=256):
             for dx in range(3)
         ],
         axis=-1,
-    ).astype(jnp.bfloat16)
-    looked = jax.lax.dot_general(
-        onehot, lut9, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).reshape(ty, tx, th, tw, 3, 3)
-
+    ).astype(jnp.bfloat16)                                     # (T, 256, 9)
+    lut_hl = lut9.reshape(ty * tx, 16, 16 * 9)                 # bin = 16*hi + lo
+    # lo-select + separable bilinear blend. On TPU this runs as a Pallas
+    # kernel (ops/pallas_clahe.py): every XLA formulation of the
+    # select+blend measured 2.5-5 ms at 1278x1022 (reduce/einsum forms
+    # materialize a (T,16,9,P) or lane-padded (T,P,16,9) intermediate; a
+    # fully unrolled 144-term select chain was 3x worse again). The jnp
+    # fallback below keeps CPU/tests exact.
     wrow = _tile_offset_weights(Hp, ty, th).reshape(ty, th, 3)
     wcol = _tile_offset_weights(Wp, tx, tw).reshape(tx, tw, 3)
-    out = jnp.einsum("ijpqkl,ipk,jql->ijpq", looked, wrow, wcol)
+    w9 = (wrow.transpose(0, 2, 1).reshape(ty, 1, 3, 1, th, 1)
+          * wcol.transpose(0, 2, 1).reshape(1, tx, 1, 3, 1, tw))
+    w9 = w9.reshape(ty * tx, 9, th * tw)                       # (T, 9, P) f32
+
+    on_tpu = False
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        pass
+    if on_tpu:
+        from ..ops.pallas_clahe import clahe_apply_pallas
+
+        # rows n*16+lo, cols hi — the kernel's per-n blocks are contiguous
+        lut_nl = (lut9.reshape(ty * tx, 16, 16, 9)
+                  .transpose(0, 3, 2, 1).reshape(ty * tx, 144, 16))
+        out = clahe_apply_pallas(v, lut_nl, w9)
+    else:
+        g = jax.lax.dot_general(
+            lut_hl, a_hi, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)               # (T, 16*9, P)
+        g4 = g.reshape(ty * tx, 16, 9, th * tw)                # [t, lo, n, p]
+        a_lo = ((v[:, None, :] & 15) == nib).astype(jnp.bfloat16)
+        out = jnp.sum(
+            g4.astype(jnp.float32) * a_lo[:, :, None, :].astype(jnp.float32)
+            * w9[:, None, :, :],
+            axis=(1, 2))                                       # (T, P)
+    out = out.reshape(ty, tx, th, tw)
     return out.transpose(0, 2, 1, 3).reshape(Hp, Wp)[:H, :W]

@@ -58,8 +58,18 @@ TRACK_LOST = 4
 
 import functools as _functools
 
-_pyr_jit = jax.jit(
-    lambda img: pyramid.build_pyramid(pyramid.clahe(img), lk.PYRAMID_LEVELS))
+def _pyr_body(img):
+    """CLAHE + pyramid + the histogram-gate centroid in ONE dispatch.
+
+    The f64->f32 conversion and the full-image mean (tracking.cc:88-105's
+    histogram centroid equals mean/256 exactly) used to run host-side —
+    ~1-2 ms/frame of pure numpy at production 1278x1022, and the only host
+    costs that scaled with resolution."""
+    img32 = img.astype(jnp.float32)
+    return pyramid.build_pyramid(pyramid.clahe(img32), lk.PYRAMID_LEVELS), jnp.mean(img32)
+
+
+_pyr_jit = jax.jit(_pyr_body)
 _lk_jit = jax.jit(lk.track_bidirectional)
 _ransac_jit = jax.jit(ransac.fundamental_ransac)
 _tri_jit = jax.jit(ransac.triangulate_batch)
@@ -299,10 +309,14 @@ class Tracker:
         self.is_new_keyframe = False
         self.logging_row = None
 
+        # one dispatch: CLAHE + pyramid + image mean (device-side; the
+        # host-side np.mean + f32 copy cost ~1-2 ms/frame at 1278x1022)
+        pyr_new, img_mean = self._jit_pyr(np.ascontiguousarray(image))
+
         if self.check_histogram:
             # the reference's histogram centroid sum(h_k * k/256)/N equals
             # mean(image)/256 exactly (tracking.cc:88-105)
-            hist = float(np.mean(np.asarray(image))) / 256.0
+            hist = float(img_mean) / 256.0
             if self.histogram != 0.0:
                 rate = abs((hist - self.histogram) / self.histogram)
                 if rate > 0.1:
@@ -315,7 +329,7 @@ class Tracker:
         self.frame_pre = self.frame_cur
         self.frame_cur = frame
         self.pyr_pre = self.pyr_cur
-        self.pyr_cur = self._jit_pyr(np.ascontiguousarray(image, np.float32))
+        self.pyr_cur = pyr_new
         frame.pyr = self.pyr_cur  # frames own their pyramid for re-detection
 
         if self.initializing:

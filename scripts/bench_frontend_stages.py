@@ -4,17 +4,29 @@ Breaks bench.py's frontend frame into its device stages, each chained K
 times on device in one jit (same methodology as bench.py's _timed_loop) so
 the tunnel round trip cancels:
 
+  clahe   CLAHE alone
   pyr     CLAHE + 4-level pyramid
   lk      ONE bidirectional LK batch (fwd+bwd x 4 levels)
   ransac  fundamental RANSAC
   detect  occupancy mask + blockwise Shi-Tomasi + subpixel refinement
 
+Round-5 lessons baked in (the round-4 numbers were wrong on two counts):
+  * every stage output is consumed with full-shape adds — consuming only
+    one element lets XLA dead-code-eliminate most of the stage (the pyr
+    stage measured 1.76 ms while the real cost was ~7 ms);
+  * the LK world must be pyramid-CONSISTENT: rolling each level by the
+    same pixel offset gives level-0 guesses ~14 px off after the coarse
+    cascade, inflating iteration counts ~2x. The pyramid of the shifted
+    level-0 image is used instead (what bench.py's composite frame does).
+
 Usage: python scripts/bench_frontend_stages.py [--cpu] [--stage NAME]
+                                               [--save]
 Prints one JSON line {stage: ms}. ``--stage`` runs ONE stage and exits:
 cross-stage in-process timing contamination has been observed on the
 tunneled TPU (a stage measured alongside others can read 10-300x its
 one-stage-per-process value), so for trustworthy numbers run each stage in
-its own process.
+its own process. ``--save`` merges the result into PERF.json under
+"frontend_stages" (the committed per-stage budget the bench reports).
 """
 
 import json
@@ -22,7 +34,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 
@@ -54,13 +67,24 @@ def timed_loop(run, make_init, k, reps=3):
     return max((min(tks) - min(t1s)) / (k - 1), 1e-9)
 
 
+def _consume_pyr(img, p):
+    """Full-shape consumption of every level (defeats DCE)."""
+    out = img + 1e-12 * p[0][: img.shape[0], : img.shape[1]]
+    for lvl in p[1:]:
+        out = out + 1e-12 * jnp.sum(lvl)
+    return out
+
+
 def main():
     from ic_gvins_tpu.vision import features, lk, pyramid, ransac
 
     r = np.random.default_rng(0)
     img0 = jnp.asarray(r.uniform(0, 255, (H, W)), jnp.float32)
-    pyr0 = [jnp.asarray(x) for x in jax.jit(
-        lambda im: pyramid.build_pyramid(pyramid.clahe(im), lk.PYRAMID_LEVELS))(img0)]
+    img1 = jnp.roll(img0, (1, 2), axis=(0, 1))
+    mkpyr = jax.jit(lambda im: pyramid.build_pyramid(pyramid.clahe(im),
+                                                     lk.PYRAMID_LEVELS))
+    pyr0 = [jnp.asarray(x) for x in mkpyr(img0)]
+    pyr1 = [jnp.asarray(x) for x in mkpyr(img1)]
     pts0 = jnp.asarray(r.uniform(30, 900, (F_MAX, 2)), jnp.float32)
 
     only = None
@@ -69,19 +93,27 @@ def main():
 
     out = {}
 
+    # ---- clahe alone
+    def clahe_step(i, img):
+        c = pyramid.clahe(img)
+        return jnp.roll(img + 1e-12 * c, (2, 3), axis=(0, 1))
+
+    if only in (None, "clahe"):
+        run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, clahe_step, c))
+        out["clahe_ms"] = timed_loop(
+            run, lambda s: img0 + np.float32(s), k=100) * 1000
+
     # ---- pyr: CLAHE + pyramid
     def pyr_step(i, img):
         p = pyramid.build_pyramid(pyramid.clahe(img), lk.PYRAMID_LEVELS)
-        return jnp.roll(img + p[0][0, 0] * 1e-9, (2, 3), axis=(0, 1))
+        return jnp.roll(_consume_pyr(img, p), (2, 3), axis=(0, 1))
 
     if only in (None, "pyr"):
         run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, pyr_step, c))
         out["pyr_ms"] = timed_loop(
             run, lambda s: img0 + np.float32(s), k=100) * 1000
 
-    # ---- lk: one bidirectional batch; pyramids alternate via roll
-    pyr1 = [jnp.roll(p, (1, 2), axis=(0, 1)) for p in pyr0]
-
+    # ---- lk: one bidirectional batch between CONSISTENT pyramids
     def lk_step(i, pts):
         nxt, ok = lk.track_bidirectional(pyr0, pyr1, pts, pts,
                                          jnp.ones(F_MAX, bool))
@@ -121,9 +153,23 @@ def main():
             run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
 
     out = {k: round(v, 3) for k, v in out.items()}
-    out["total_ms"] = round(sum(out.values()), 3)
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
+
+    if "--save" in sys.argv:
+        perf_path = os.path.join(_REPO, "PERF.json")
+        try:
+            with open(perf_path) as f:
+                perf = json.load(f)
+        except Exception:
+            perf = {}
+        entry = perf.setdefault("frontend_stages", {})
+        entry.update({k: v for k, v in out.items() if k.endswith("_ms")})
+        entry["backend"] = out["backend"]
+        entry["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(perf_path, "w") as f:
+            json.dump(perf, f, indent=1, sort_keys=True)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -199,6 +199,7 @@ def main():
                 device_s_cpu={k: round(v, 3) for k, v in dev.items()},
                 device_calls_per_frame={
                     k: round(n / frames, 3) for k, n in ncalls.items()},
+                solver_tiers=dict(model.tier_counts),
             )
         )
     )
