@@ -228,8 +228,12 @@ def _schur_reduce(Hss, Hsl, hll, b, m, r, node_idx, cfg):
         Y = x0_apply(Z)
         return 2.0 * Y - x0_apply(Sn @ Y)
 
-    Y1 = x1_apply(rhs)
-    Y2 = x1_apply(2.0 * rhs - Sn @ Y1)  # X2 = X1(2I - Sn X1) applied to rhs
+    # ONE Newton correction: elimination error on a direction of strength w
+    # falls as (ridge/(w+ridge))^2 = 1e-12 at w=1 equilibrated — already
+    # below the 1e-9 relative pin. A second step ((..)^4) was measured
+    # indistinguishable at every tests/test_marginalization.py gate while
+    # costing 2 extra refined solves + 2 (90,307) f64 GEMMs per event.
+    Y2 = x1_apply(rhs)
     # undo equilibration: S⁺ = dS⁻¹ Sn⁺ dS⁻¹, rhs was already right-scaled
     Yu = Y2 / dS[:, None]
     G = Yu[:, :NP]        # (|node_idx|, NP) = S⁺ Wᵀ
