@@ -49,6 +49,7 @@ coarse-cascade guess ~14 px off at level 0 and inflates LK ~2x.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +111,17 @@ def _window_mask(dtype):
     return m.astype(dtype)
 
 
+# The per-feature body is LATENCY-bound on its scalar->vector dependency
+# chain (reduction -> step scalars -> dynamic roll amounts -> next
+# reduction), leaving the VPU idle between links. Interleaving the FPP
+# features of a grid program into ONE while_loop gives the scheduler FPP
+# independent chains to overlap. Cost: the group iterates until its
+# SLOWEST member converges (converged members are frozen by their active
+# mask) — wasted lanes the idle units absorb. A/B: ICGVINS_LK_INTERLEAVE=0
+# restores the serial per-feature loops.
+_INTERLEAVE = os.environ.get("ICGVINS_LK_INTERLEAVE", "1") != "0"
+
+
 def _kernel(corners_ref, feat_ref,
             img_prev_ref, img_next_ref,
             out_ref):
@@ -117,9 +129,103 @@ def _kernel(corners_ref, feat_ref,
     # [ppx, ppy, gx0, gy0, valid, ...] — transposed layout keeps the SMEM
     # footprint at KBs (an (N,2) SMEM array is padded to 128 lanes per row)
     g = pl.program_id(0)
+    if _INTERLEAVE:
+        _track_group(corners_ref, feat_ref, img_prev_ref, img_next_ref,
+                     out_ref, g)
+        return
     for b in range(FPP):
         _track_one(corners_ref, feat_ref, img_prev_ref, img_next_ref,
                    out_ref, g * FPP + jnp.int32(b))
+
+
+def _track_group(corners_ref, feat_ref, img_prev_ref, img_next_ref,
+                 out_ref, g):
+    """All FPP features of program ``g`` in one joint while_loop (same cv
+    semantics as _track_one; per-feature convergence via active masks)."""
+    mask = _window_mask(jnp.float32)
+    fs, nbs, tpls, gxs, gys = [], [], [], [], []
+    gxxs, gyys, gxys, inv_dets, oks = [], [], [], [], []
+    ny0fs, nx0fs, xs0, ys0 = [], [], [], []
+    for b in range(FPP):
+        f = g * FPP + jnp.int32(b)
+        py0 = pl.multiple_of(corners_ref[0, f], 8)
+        px0 = pl.multiple_of(corners_ref[1, f], 128)
+        ny0 = pl.multiple_of(corners_ref[2, f], 8)
+        nx0 = pl.multiple_of(corners_ref[3, f], 128)
+        ppx = feat_ref[0, f]
+        ppy = feat_ref[1, f]
+        v = feat_ref[4, f]
+        pb = img_prev_ref[pl.ds(py0, BLK_R), pl.ds(px0, BLK_C)]
+        nb = img_next_ref[pl.ds(ny0, BLK_R), pl.ds(nx0, BLK_C)]
+        tpl = _align_crop(pb, ppy - py0.astype(jnp.float32),
+                          ppx - px0.astype(jnp.float32))
+        gx = 0.5 * (_roll(tpl, -1, 1) - _roll(tpl, 1, 1)) * mask
+        gy = 0.5 * (_roll(tpl, -1, 0) - _roll(tpl, 1, 0)) * mask
+        gxx = jnp.sum(gx * gx)
+        gyy = jnp.sum(gy * gy)
+        gxy = jnp.sum(gx * gy)
+        det = gxx * gyy - gxy * gxy
+        n_px = jnp.float32((2 * WIN_HALF + 1) ** 2)
+        min_eig = 0.5 * ((gxx + gyy)
+                         - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy * gxy)) / n_px
+        ok = (min_eig > MIN_EIG_THRESHOLD) & (jnp.abs(det) > 1e-12) & (v > 0)
+        inv_det = jnp.where(jnp.abs(det) > jnp.float32(1e-12),
+                            jnp.float32(1.0) / det, jnp.float32(0.0))
+        fs.append(f)
+        nbs.append(nb)
+        tpls.append(tpl)
+        gxs.append(gx)
+        gys.append(gy)
+        gxxs.append(gxx)
+        gyys.append(gyy)
+        gxys.append(gxy)
+        inv_dets.append(inv_det)
+        oks.append(ok)
+        ny0fs.append(ny0.astype(jnp.float32))
+        nx0fs.append(nx0.astype(jnp.float32))
+        xs0.append(feat_ref[2, f])
+        ys0.append(feat_ref[3, f])
+
+    def cond(carry):
+        i, actives = carry[0], carry[1]
+        any_active = actives[0]
+        for a in actives[1:]:
+            any_active = any_active | a
+        return (i < MAX_ITERS) & any_active
+
+    def body(carry):
+        i, actives, cxs, cys = carry
+        nxs, nys, nas = [], [], []
+        for b in range(FPP):
+            cur = _align_crop(nbs[b], cys[b] - ny0fs[b], cxs[b] - nx0fs[b])
+            diff = cur - tpls[b]
+            bx = jnp.sum(diff * gxs[b])
+            by = jnp.sum(diff * gys[b])
+            dx = -(gyys[b] * bx - gxys[b] * by) * inv_dets[b]
+            dy = -(gxxs[b] * by - gxys[b] * bx) * inv_dets[b]
+            gate = jnp.where(actives[b], jnp.float32(1.0), jnp.float32(0.0))
+            nxs.append(cxs[b] + dx * gate)
+            nys.append(cys[b] + dy * gate)
+            nas.append(actives[b]
+                       & (jnp.sqrt(dx * dx + dy * dy) >= jnp.float32(EPS)))
+        return (i + 1, tuple(nas), tuple(nxs), tuple(nys))
+
+    _, _, fxs, fys = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tuple(oks), tuple(xs0), tuple(ys0)))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for b in range(FPP):
+        gx_f = jnp.where(oks[b], fxs[b], xs0[b])
+        gy_f = jnp.where(oks[b], fys[b], ys0[b])
+        ly = gy_f - ny0fs[b]
+        lx = gx_f - nx0fs[b]
+        inside = (
+            (ly >= WIN_HALF + 1.0) & (ly <= BLK_R - WIN_HALF - 2.0)
+            & (lx >= WIN_HALF + 1.0) & (lx <= BLK_C - WIN_HALF - 2.0)
+        )
+        okf = jnp.where(oks[b] & inside, jnp.float32(1.0), jnp.float32(0.0))
+        row = jnp.where(lane == 0, gx_f, jnp.where(lane == 1, gy_f, okf))
+        out_ref[fs[b], :] = row[0, :]
 
 
 def _track_one(corners_ref, feat_ref, img_prev_ref, img_next_ref, out_ref, f):

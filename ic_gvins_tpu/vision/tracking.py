@@ -70,9 +70,12 @@ def _pyr_body(img):
 
 
 _pyr_jit = jax.jit(_pyr_body)
-_lk_jit = jax.jit(lk.track_bidirectional)
 _ransac_jit = jax.jit(ransac.fundamental_ransac)
 _tri_jit = jax.jit(ransac.triangulate_batch)
+
+
+def _cam_from_vec(cam_vec):
+    return cam.PinholeCamera(*[cam_vec[i] for i in range(10)], width=0, height=0)
 
 
 @jax.jit
@@ -80,28 +83,40 @@ def _undis_jit(cam_vec, pts):
     """Batched iterative undistortion with camera params as a traced vector
     (fx..p2 packed): one fused dispatch instead of the ~110 numpy ops of the
     host-path loop (~0.33 ms -> ~0.05 ms per call on the frame path)."""
-    c = cam.PinholeCamera(*[cam_vec[i] for i in range(10)], width=0, height=0)
-    return cam.undistort_points(c, pts)
+    return cam.undistort_points(_cam_from_vec(cam_vec), pts)
 
 
-def _detect_body(img, mask, counts, block_rows, block_cols, per_block, min_distance):
+@jax.jit
+def _lk_jit(cam_vec, pyr_prev, pyr_next, pts_prev, pts_pred, valid):
+    """Bidirectional LK + undistortion of the tracked endpoints in ONE
+    dispatch. The separate per-frame _undis dispatches on the LK output were
+    ~1 ms/frame of pure host dispatch (round-5 section profile)."""
+    nxt, ok = lk.track_bidirectional(pyr_prev, pyr_next, pts_prev, pts_pred, valid)
+    und = cam.undistort_points(_cam_from_vec(cam_vec), nxt.astype(jnp.float64))
+    return nxt, ok, und
+
+
+def _detect_body(cam_vec, img, mask, counts, block_rows, block_cols, per_block, min_distance):
     corners, resp, valid = feat.detect_blockwise(
         img, mask, counts, block_rows=block_rows, block_cols=block_cols,
         per_block=per_block, min_distance=min_distance)
     corners = feat.corner_subpix(img, corners, valid)
-    return corners, valid
+    und = cam.undistort_points(_cam_from_vec(cam_vec),
+                               corners.astype(jnp.float64))
+    return corners, valid, und
 
 
-@_functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _detect_jit(img, pts, wts, counts, block_rows, block_cols, per_block, min_distance):
-    """Fused occupancy-mask + blockwise Shi-Tomasi + subpixel refine."""
+@_functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _detect_jit(cam_vec, img, pts, wts, counts, block_rows, block_cols, per_block, min_distance):
+    """Fused occupancy-mask + blockwise Shi-Tomasi + subpixel refine +
+    undistortion of the new corners."""
     mask = feat.occupancy_mask(pts, wts, img.shape, min_distance)
-    return _detect_body(img, mask, counts, block_rows, block_cols, per_block, min_distance)
+    return _detect_body(cam_vec, img, mask, counts, block_rows, block_cols, per_block, min_distance)
 
 
-@_functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _detect_nomask_jit(img, counts, block_rows, block_cols, per_block, min_distance):
-    return _detect_body(img, jnp.ones_like(img), counts,
+@_functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _detect_nomask_jit(cam_vec, img, counts, block_rows, block_cols, per_block, min_distance):
+    return _detect_body(cam_vec, img, jnp.ones_like(img), counts,
                         block_rows, block_cols, per_block, min_distance)
 
 
@@ -186,10 +201,12 @@ class Tracker:
             camera.k1, camera.k2, camera.k3, camera.p1, camera.p2])
 
     def _jit_detect(self, img, pts, wts, counts):
-        return _detect_jit(img, pts, wts, counts, *self._detect_static)
+        return _detect_jit(self._cam_vec, img, pts, wts, counts,
+                           *self._detect_static)
 
     def _jit_detect_nomask(self, img, counts):
-        return _detect_nomask_jit(img, counts, *self._detect_static)
+        return _detect_nomask_jit(self._cam_vec, img, counts,
+                                  *self._detect_static)
 
     # ------------------------------------------------------------------
     # helpers
@@ -244,7 +261,7 @@ class Tracker:
 
     def _track_pairs(self, pts_prev, pts_pred):
         """Bidirectional LK on padded tables; returns (next_pts, ok) trimmed."""
-        [(nxt, ok)] = self._lk_fused([(np.asarray(pts_prev), np.asarray(pts_pred))])
+        [(nxt, ok, _)] = self._lk_fused([(np.asarray(pts_prev), np.asarray(pts_pred))])
         return nxt, ok
 
     def _lk_fused(self, sets):
@@ -256,7 +273,8 @@ class Tracker:
 
         sets: [(pts_prev (n,2), pts_pred (n,2)), ...] with sum(n) <= F_MAX
         (overflow slots are shed as failed tracks).
-        Returns [(next (n,2) f64, ok (n,) bool), ...]."""
+        Returns [(next (n,2) f64, ok (n,) bool, und (n,2) f64), ...] where
+        und is the undistorted next point (computed in the same dispatch)."""
         n = self.F_MAX
         # f32/bool numpy temporaries passed DIRECTLY to the jit: an eager
         # jnp.asarray costs ~120 us of dispatch per array on CPU, while the
@@ -276,17 +294,21 @@ class Tracker:
                 pd[off : off + k] = q[:k]
                 v[off : off + k] = True
             off += k
-        nxt, ok = self._jit_lk(self.pyr_pre, self.pyr_cur, pp, pd, v)
+        nxt, ok, und = self._jit_lk(self._cam_vec, self.pyr_pre, self.pyr_cur,
+                                    pp, pd, v)
         nxt = np.asarray(nxt, np.float64)
         okn = np.asarray(ok)
+        undn = np.asarray(und, np.float64)
         out = []
         for (off, k), (p, _q) in zip(offs, sets):
             m = len(p)
             nx = np.zeros((m, 2))
             good = np.zeros(m, bool)
+            un = np.zeros((m, 2))
             nx[:k] = nxt[off : off + k]
             good[:k] = okn[off : off + k]
-            out.append((nx, good))
+            un[:k] = undn[off : off + k]
+            out.append((nx, good, un))
         return out
 
     # ------------------------------------------------------------------
@@ -387,6 +409,7 @@ class Tracker:
             i += 1
         if ref_prep is not None:
             self._finish_reference_tracking(ref_prep[0], *results[i])
+            i += 1
 
         kf_state = self.check_keyframe_state()
 
@@ -414,8 +437,8 @@ class Tracker:
         prep = self._prepare_mappoint_tracking()
         if prep is None:
             return False
-        [(nxt, ok)] = self._lk_fused([(prep[1], prep[3])])
-        return self._finish_mappoint_tracking(prep, nxt, ok)
+        [(nxt, ok, und)] = self._lk_fused([(prep[1], prep[3])])
+        return self._finish_mappoint_tracking(prep, nxt, ok, und)
 
     def _prepare_mappoint_tracking(self):
         self.tracked_mappoints = []
@@ -441,13 +464,13 @@ class Tracker:
         pred_dis = self._dis(pred_und)
         return lms, pts_prev_dis, pts_prev_und, pred_dis
 
-    def _finish_mappoint_tracking(self, prep, nxt, ok):
+    def _finish_mappoint_tracking(self, prep, nxt, ok, und):
         lms, pts_prev_dis, pts_prev_und, _pred = prep
         if not ok.any():
             return False
 
         matched_dis = nxt[ok]
-        matched_und = self._undis(matched_dis)
+        matched_und = und[ok]
         kept_lms = [lm for lm, o in zip(lms, ok) if o]
         kept_prev_und = pts_prev_und[ok]
 
@@ -493,8 +516,8 @@ class Tracker:
         prep = self._prepare_reference_tracking()
         if prep is None:
             return False
-        [(nxt, ok)] = self._lk_fused([prep])
-        return self._finish_reference_tracking(prep[0], nxt, ok)
+        [(nxt, ok, und)] = self._lk_fused([prep])
+        return self._finish_reference_tracking(prep[0], nxt, ok, und)
 
     def _prepare_reference_tracking(self):
         self.parallax_ref = 0.0
@@ -511,14 +534,14 @@ class Tracker:
         pred = cam.cam2pixel(self.cam, np.concatenate([xy, np.ones((len(xy), 1))], axis=1))
         return pts_new, pred
 
-    def _finish_reference_tracking(self, pts_new, nxt, ok):
+    def _finish_reference_tracking(self, pts_new, nxt, ok, und):
         self._reduce(ok)
         if len(self.pts_new) == 0:
             return False
         pts_cur = nxt[ok]
 
         und_new = self.und_new
-        und_cur = self._undis(pts_cur)
+        und_cur = und[ok]
 
         dt = self.frame_cur.stamp - self.frame_pre.stamp
         pc_new = self._pixel2cam(und_new)
@@ -744,14 +767,16 @@ class Tracker:
         img = getattr(frame, "pyr", self.pyr_cur)[0]
         if ismask and len(existing):
             pts, wts = self._pad(existing)
-            corners, valid = self._jit_detect(img, pts, wts, counts)
+            corners, valid, und_all = self._jit_detect(img, pts, wts, counts)
         else:
-            corners, valid = self._jit_detect_nomask(img, counts)
-        cn = np.asarray(corners)[np.asarray(valid)]
+            corners, valid, und_all = self._jit_detect_nomask(img, counts)
+        vmask = np.asarray(valid)
+        cn = np.asarray(corners)[vmask]
+        und_v = np.asarray(und_all, np.float64)[vmask]
 
         budget = self.max_features - num_features
         cn = np.asarray(cn[:budget], np.float64)
-        und_cn = self._undis(cn)
+        und_cn = und_v[:budget]
         m = len(cn)
         if m:
             self.pts_ref = np.concatenate([self.pts_ref, cn])

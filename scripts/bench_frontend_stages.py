@@ -135,6 +135,66 @@ def main():
         out["ransac_ms"] = timed_loop(
             run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
 
+    # ---- detect substages: response / NMS / block top-k / subpix / mask
+    if only in ("resp", "nms", "topk", "subpix", "occ"):
+        from ic_gvins_tpu.vision.features import min_eig_response
+
+        if only == "resp":
+            def sub_step(i, img):
+                r2 = min_eig_response(img)
+                return jnp.roll(img + 1e-12 * r2, (2, 3), axis=(0, 1))
+
+            run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, sub_step, c))
+            out["resp_ms"] = timed_loop(
+                run, lambda s: img0 + np.float32(s), k=100) * 1000
+        if only == "nms":
+            def sub_step(i, img):
+                r2 = min_eig_response(img)
+                k2 = 15
+                dil = jax.lax.reduce_window(
+                    r2, -jnp.inf, jax.lax.max, (k2, 1), (1, 1), "SAME")
+                dil = jax.lax.reduce_window(
+                    dil, -jnp.inf, jax.lax.max, (1, k2), (1, 1), "SAME")
+                is_max = ((r2 >= dil) & (r2 > 0)).astype(jnp.float32)
+                return jnp.roll(img + 1e-12 * is_max, (2, 3), axis=(0, 1))
+
+            run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, sub_step, c))
+            out["nms_ms"] = timed_loop(
+                run, lambda s: img0 + np.float32(s), k=100) * 1000
+        if only == "topk":
+            def sub_step(i, img):
+                corners, resp2, cvalid = features.detect_blockwise(
+                    img, jnp.ones((H, W)), jnp.zeros(BR * BC, jnp.int32),
+                    block_rows=BR, block_cols=BC, per_block=PB,
+                    min_distance=15)
+                return jnp.roll(
+                    img + 1e-12 * (jnp.sum(corners) + jnp.sum(resp2)),
+                    (2, 3), axis=(0, 1))
+
+            run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, sub_step, c))
+            out["topk_ms"] = timed_loop(
+                run, lambda s: img0 + np.float32(s), k=100) * 1000
+        if only == "subpix":
+            def sub_step(i, pts):
+                c = features.corner_subpix(
+                    pyr0[0], pts[: BR * BC * PB],
+                    jnp.ones(BR * BC * PB, bool))
+                return pts.at[: BR * BC * PB].set(
+                    jnp.clip(c, 30.0, 900.0))
+
+            run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, sub_step, c))
+            out["subpix_ms"] = timed_loop(
+                run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+        if only == "occ":
+            def sub_step(i, pts):
+                m = features.occupancy_mask(
+                    pts, jnp.ones(F_MAX, jnp.float32), (H, W), 15)
+                return pts + 1e-12 * jnp.sum(m)
+
+            run = jax.jit(lambda c, n: jax.lax.fori_loop(0, n, sub_step, c))
+            out["occ_ms"] = timed_loop(
+                run, lambda s: pts0 + np.float32(s % 7), k=100) * 1000
+
     # ---- detect: occupancy mask + blockwise + subpix
     def detect_step(i, pts):
         mask = features.occupancy_mask(pts, jnp.ones(F_MAX, jnp.float32),
