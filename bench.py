@@ -83,6 +83,7 @@ _DEVICE_STAGES = (
     ("backend", 300),
     ("backend_small", 240),
     ("marg", 180),
+    ("marg_small", 150),
     ("preint", 120),
     ("mech", 90),
 )
@@ -94,6 +95,7 @@ _FALLBACK = {
     "backend": 0.0222,
     "backend_small": 0.0222,
     "marg": 0.008,
+    "marg_small": 0.008,
     "preint": 0.003,
     "mech": 0.003,
     "host": {"host_s": 0.0116, "kf_ratio": 0.5, "marg_ratio": 0.5,
@@ -257,9 +259,11 @@ def bench_backend(tier="full"):
     return _timed_loop(run, make_init, k=40)
 
 
-def bench_marg():
-    """Chained marginalization (select + Schur + shift) at production sizing:
-    the D=819 double-eigh pipeline the replay runs once per window slide."""
+def bench_marg(tier="full"):
+    """Chained marginalization (select + Schur + shift) at production sizing.
+    "small" is the fill-scaled tier the replay selects when the live
+    landmark/reprojection rows fit half-size L/R (the prior's NP x NP
+    support is tier-independent — engine/estimator.marginalize)."""
     import jax
     import jax.numpy as jnp
 
@@ -268,6 +272,8 @@ def bench_marg():
     from ic_gvins_tpu.solver.problem import WindowConfig
 
     cfg = WindowConfig(N=20, L=512, G=24, R=2048, with_earth=True)
+    if tier == "small":
+        cfg = cfg._replace(L=256, R=1024)
     params0, tables0 = ge._make_problem(cfg)
 
     def marg_once(i, t):
@@ -367,6 +373,7 @@ _BENCH_FNS = {
     "backend": bench_backend,
     "backend_small": lambda: bench_backend("small"),
     "marg": bench_marg,
+    "marg_small": lambda: bench_marg("small"),
     "preint": bench_preint,
     "mech": bench_mech,
 }
@@ -470,7 +477,8 @@ def _merge_and_print(results, perf):
     stages_old = perf.get("stages") or {}
     stale = []
     vals = {}
-    for name in ("frontend", "backend", "backend_small", "marg", "preint", "mech"):
+    for name in ("frontend", "backend", "backend_small", "marg", "marg_small",
+                 "preint", "mech"):
         if name in results and "value_s" in results[name]:
             vals[name] = float(results[name]["value_s"])
         elif name in stages_old and "value_s" in stages_old[name]:
@@ -512,9 +520,16 @@ def _merge_and_print(results, perf):
     small_share = n_small / (n_small + n_full) if (n_small + n_full) else 0.0
     backend_eff = (small_share * vals["backend_small"]
                    + (1.0 - small_share) * vals["backend"])
+    mtiers = host.get("marg_tiers") or {}
+    mn_small = float(mtiers.get("small", 0.0))
+    mn_full = float(mtiers.get("full", 0.0))
+    marg_small_share = (mn_small / (mn_small + mn_full)
+                        if (mn_small + mn_full) else 0.0)
+    marg_eff = (marg_small_share * vals["marg_small"]
+                + (1.0 - marg_small_share) * vals["marg"])
 
     def frame_time(kf, mr):
-        return (vals["frontend"] + kf * backend_eff + mr * vals["marg"]
+        return (vals["frontend"] + kf * backend_eff + mr * marg_eff
                 + max(float(cpf.get("preint", 0.0)), kf) * vals["preint"]
                 + mech_pf * vals["mech"] + host_s)
 
@@ -538,7 +553,10 @@ def _merge_and_print(results, perf):
         "backend_full_ms": round(vals["backend"] * 1000, 3),
         "backend_small_ms": round(vals["backend_small"] * 1000, 3),
         "backend_small_share": round(small_share, 4),
-        "marg_ms": round(vals["marg"] * 1000, 3),
+        "marg_ms": round(marg_eff * 1000, 3),
+        "marg_full_ms": round(vals["marg"] * 1000, 3),
+        "marg_small_ms": round(vals["marg_small"] * 1000, 3),
+        "marg_small_share": round(marg_small_share, 4),
         "preint_ms": round(vals["preint"] * 1000, 3),
         "mech_ms": round(vals["mech"] * 1000, 3),
         "host_ms": round(host_s * 1000, 3),
@@ -577,8 +595,8 @@ def _merge_and_print(results, perf):
     # persist fresh stage results for the next run's stale fallback
     stages_new = dict(stages_old)
     for name, entry in results.items():
-        if name in ("frontend", "backend", "backend_small", "marg", "preint",
-                    "mech", "host"):
+        if name in ("frontend", "backend", "backend_small", "marg",
+                    "marg_small", "preint", "mech", "host"):
             e = dict(entry)
             e.pop("cached", None)
             e["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")

@@ -223,8 +223,8 @@ class SlidingWindowEstimator:
         self._jit_solve = lambda p, t, iters: _solve_jit(p, t, wc, iters)
         self._jit_surgery = lambda p, t: _surgery_jit(p, t, wc)
         self.last_solve_times = (0.0, 0.0)  # (pass1 s, pass2 s), set by optimize
-        self._jit_marginalize = lambda params, tables, num_marg, oldest: _marg_jit(
-            params, tables, num_marg, oldest, wc)
+        self._jit_marginalize = lambda params, tables, num_marg, oldest, wcm=wc: \
+            _marg_jit(params, tables, num_marg, oldest, wcm)
 
     # ------------------------------------------------------------------
     # node management
@@ -564,9 +564,18 @@ class SlidingWindowEstimator:
             _np_set(self.preint_table.summ, int(k), _np_tree(summ))
         return int(need.sum())
 
-    def marginalize(self, num_marg, oldest_kf_node=0, tables=None, params=None):
+    def marginalize(self, num_marg, oldest_kf_node=0, tables=None, params=None,
+                    wc=None):
         """Marginalize nodes [0, num_marg); shift window left. Returns the
-        landmark-marginalized mask for the caller's map bookkeeping."""
+        landmark-marginalized mask for the caller's map bookkeeping.
+
+        wc: the tier the tables/params were built at (default full). The
+        prior's support (NP x NP) is tier-independent (lm_off depends only
+        on N), so a small-tier marginalization — roughly half the f64
+        reprojection assembly and landmark-elimination cost — produces the
+        SAME prior whenever the live rows fit the tier; only x0's
+        invdepths leaf carries the tier's L, and build_tables resizes it."""
+        wc = wc or self.wcfg
         if num_marg <= 0:
             return None
         if num_marg > self.wcfg.marg_cap:
@@ -580,10 +589,11 @@ class SlidingWindowEstimator:
                 f"the structured Schur factors only the leading marg_cap "
                 f"node blocks; pre-merge surplus nodes before marginalizing")
         if tables is None:
-            tables = self.build_tables()
+            tables = self.build_tables(wc=wc)
         if params is None:
-            params = self.build_params()
-        prior, lm_m = self._jit_marginalize(params, tables, num_marg, oldest_kf_node)
+            params = self.build_params(wc=wc)
+        prior, lm_m = self._jit_marginalize(params, tables, num_marg,
+                                            oldest_kf_node, wc)
         self.marg_prior = prior
         self.prior_cfg = None  # init priors absorbed (ic_gvins.cc:1537-1549)
 

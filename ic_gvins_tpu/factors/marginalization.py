@@ -231,8 +231,10 @@ def _schur_reduce(Hss, Hsl, hll, b, m, r, node_idx, cfg):
     # ONE Newton correction: elimination error on a direction of strength w
     # falls as (ridge/(w+ridge))^2 = 1e-12 at w=1 equilibrated — already
     # below the 1e-9 relative pin. A second step ((..)^4) was measured
-    # indistinguishable at every tests/test_marginalization.py gate while
-    # costing 2 extra refined solves + 2 (90,307) f64 GEMMs per event.
+    # indistinguishable at every tests/test_marginalization.py gate AND on
+    # the chained 7-marginalization batch oracle (test_batch_oracle: final
+    # biases differ by ~1e-8 between one and two steps) while costing 2
+    # extra refined solves + 2 (90,307) f64 GEMMs per event.
     Y2 = x1_apply(rhs)
     # undo equilibration: S⁺ = dS⁻¹ Sn⁺ dS⁻¹, rhs was already right-scaled
     Yu = Y2 / dS[:, None]

@@ -243,7 +243,8 @@ class GinsModel:
         ic_gvins.h:134-136 + ic_gvins.cc:858-862); with fixed shapes the
         bound is S samples. ``shed_capacity`` frees node slots when the
         window fills (defaults to marginalizing the oldest node)."""
-        shed = shed_capacity or (lambda: self.est.marginalize(1))
+        shed = shed_capacity or (
+            lambda: self.est.marginalize(1, wc=self.est.wcfg_small))
         max_dt = (self.cfg.preint_samples - 2) / self.cfg.imudatarate
         t0 = float(self.est.times[self.est.n_nodes - 1])
         while t_target - t0 > max_dt:
@@ -266,12 +267,14 @@ class GinsModel:
         self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples if self.out else None)
 
         self._add_gnss_node(stream, gnss)
-        self.est.optimize(num_iterations=50)
+        # GNSS/INS-only problem: no landmark/reprojection rows ever live, so
+        # the half-L/R tier always fits (solver cost is linear in R/L)
+        self.est.optimize(num_iterations=50, wc=self.est.wcfg_small)
         self.est.reintegrate_if_needed()
 
         # window management: marginalize oldest when slots are full
         if self.est.n_nodes >= self.wcfg.N - 1:
-            self.est.marginalize(1)
+            self.est.marginalize(1, wc=self.est.wcfg_small)
 
         # feedback: re-mechanize forward from the newest optimized node
         st = self.est.latest_state()

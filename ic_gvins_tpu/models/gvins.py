@@ -79,6 +79,7 @@ class GvinsModel(GinsModel):
         self.iterations = [0, 0]
         self.timecosts = [0.0, 0.0, 0.0]
         self.tier_counts = {"small": 0, "full": 0}  # solver-tier usage
+        self.tier_counts_marg = {"small": 0, "full": 0}  # marg-tier usage
         self.outlier_counts = [0, 0]
         self._lm_slots = {}
 
@@ -173,10 +174,13 @@ class GvinsModel(GinsModel):
         411-425); switch to the visual stage after initlength preints."""
         self.prop.propagate_to(gnss["time"], sample_cb=self._write_samples if self.out else None)
         self._add_gnss_node(stream, gnss)
-        self.est.optimize(num_iterations=50)
+        # GNSS/INS phase: no landmark/reprojection rows, small tier fits
+        self.est.optimize(num_iterations=50, wc=self.est.wcfg_small)
         self.est.reintegrate_if_needed()
         if self.est.n_nodes >= self.wcfg.N - 1:
-            self.est.marginalize(1)
+            # GNSS/INS phase: no landmarks/reprojections live, the small
+            # tier (same N/G, half L/R) always fits
+            self.est.marginalize(1, wc=self.est.wcfg_small)
         self.initlength_count = self.est.n_nodes - 1
         st = self.est.latest_state()
         self.prop.set_state(st)
@@ -288,8 +292,9 @@ class GvinsModel(GinsModel):
                 if abs(f.stamp - oldest_time) < MINIMUM_TIME_INTERVAL:
                     oldest_kf = f
                     break
-            tables, params = self._fresh_tables_and_params()
-            self.est.marginalize(1, oldest_kf_node=0, tables=tables, params=params)
+            tables, params, wcm = self._fresh_tables_and_params()
+            self.est.marginalize(1, oldest_kf_node=0, tables=tables,
+                                 params=params, wc=wcm)
             if oldest_kf is not None:
                 self.vmap.remove_keyframe(oldest_kf, remove_mappoints=True)
 
@@ -422,16 +427,28 @@ class GvinsModel(GinsModel):
         Node indices shift whenever second-new nodes merge or the window
         slides, so marginalization must never reuse tables from the last
         optimization episode (the reference rebuilds all marginalization
-        factors from the live lists, ic_gvins.cc:1482-1610)."""
+        factors from the live lists, ic_gvins.cc:1482-1610).
+
+        Returns (tables, params, wc) at the fill-selected tier: the marg
+        prior's support is tier-independent (estimator.marginalize), and the
+        f64 reprojection assembly + landmark elimination are linear in R/L."""
         slots, invdepths, lm_valid = self._assign_landmark_slots(count_optimized=False)
-        reproj, _ = self._build_reproj_table(slots)
+        reproj, nrows = self._build_reproj_table(slots)
+        wc_small = self.est.wcfg_small
+        use_small = len(slots) <= wc_small.L and nrows <= wc_small.R
+        wc_used = wc_small if use_small else self.est.wcfg
+        if use_small:
+            reproj = reproj[: wc_small.R]
+            invdepths = invdepths[: wc_small.L]
+            lm_valid = lm_valid[: wc_small.L]
+        self.tier_counts_marg["small" if use_small else "full"] += 1
         tables = self.est.build_tables(
             ext_active=False, td_active=False,
             reproj_table=reproj, reproj_sqrt_info=self.reproj_sqrt_info,
-            lm_valid=lm_valid,
+            lm_valid=lm_valid, wc=wc_used,
         )
-        params = self.est.build_params(invdepths=invdepths)
-        return tables, params
+        params = self.est.build_params(invdepths=invdepths, wc=wc_used)
+        return tables, params, wc_used
 
     def _build_reproj_table(self, slots):
         """addReprojectionFactors (ic_gvins.cc:1763-1837).
@@ -797,8 +814,9 @@ class GvinsModel(GinsModel):
 
         # factor tables rebuilt at the CURRENT structure (node indices may
         # have shifted since the optimization episode's tables)
-        tables, params = self._fresh_tables_and_params()
-        self.est.marginalize(num_marg, oldest_kf_node=oldest_node, tables=tables, params=params)
+        tables, params, wcm = self._fresh_tables_and_params()
+        self.est.marginalize(num_marg, oldest_kf_node=oldest_node,
+                             tables=tables, params=params, wc=wcm)
 
         # persist the marginalized landmarks (mappoint.txt) + drop keyframe
         for lm_id in list(oldest.features.keys()):

@@ -42,6 +42,11 @@ import jax
 jax.config.update("jax_enable_x64", True)
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+# persistent compile cache (same as bench.py): tunnel compiles of the LK
+# stage can run many minutes; cached re-runs skip them entirely
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import jax.numpy as jnp
 import numpy as np

@@ -200,6 +200,7 @@ def main():
                 device_calls_per_frame={
                     k: round(n / frames, 3) for k, n in ncalls.items()},
                 solver_tiers=dict(model.tier_counts),
+                marg_tiers=dict(model.tier_counts_marg),
             )
         )
     )
