@@ -28,6 +28,7 @@ from .pallas_lk import (
     CCY,
     FPP,
     ROW_OFF,
+    _INTERLEAVE,
     _align_crop,
     _roll,
 )
@@ -56,8 +57,87 @@ def _weights_and_grids():
 
 def _kernel(corners_ref, feat_ref, img_ref, out_ref):
     g = pl.program_id(0)
+    if _INTERLEAVE:
+        _refine_group(corners_ref, feat_ref, img_ref, out_ref, g)
+        return
     for b in range(FPP):
         _refine_one(corners_ref, feat_ref, img_ref, out_ref, g * FPP + jnp.int32(b))
+
+
+def _refine_group(corners_ref, feat_ref, img_ref, out_ref, g):
+    """All FPP corners of program ``g`` in one joint while_loop — the same
+    latency-bound scalar->vector chain pipelining as pallas_lk._track_group
+    (per-corner convergence via active masks; iterates until the slowest
+    member converges, frozen members gated to no-ops)."""
+    wgt, dxg, dyg = _weights_and_grids()
+    fs, blks, y0fs, x0fs, cxs0, cys0, vs = [], [], [], [], [], [], []
+    for b in range(FPP):
+        f = g * FPP + jnp.int32(b)
+        y0 = pl.multiple_of(corners_ref[0, f], 8)
+        x0 = pl.multiple_of(corners_ref[1, f], 128)
+        fs.append(f)
+        blks.append(img_ref[pl.ds(y0, BLK_R), pl.ds(x0, BLK_C)])
+        y0fs.append(y0.astype(jnp.float32))
+        x0fs.append(x0.astype(jnp.float32))
+        cxs0.append(feat_ref[0, f])
+        cys0.append(feat_ref[1, f])
+        vs.append(feat_ref[2, f])
+
+    def cond(carry):
+        i, actives = carry[0], carry[1]
+        any_active = actives[0]
+        for a in actives[1:]:
+            any_active = any_active | a
+        return (i < ITERS) & any_active
+
+    def body(carry):
+        i, actives, pxs, pys = carry
+        nxs, nys, nas = [], [], []
+        for b in range(FPP):
+            cur = _align_crop(blks[b], pys[b] - y0fs[b], pxs[b] - x0fs[b])
+            gx = 0.5 * (_roll(cur, -1, 1) - _roll(cur, 1, 1))
+            gy = 0.5 * (_roll(cur, -1, 0) - _roll(cur, 1, 0))
+            wxx = wgt * gx * gx
+            wyy = wgt * gy * gy
+            wxy = wgt * gx * gy
+            gxx = jnp.sum(wxx)
+            gyy = jnp.sum(wyy)
+            gxy = jnp.sum(wxy)
+            bx = jnp.sum(wxx * dxg) + jnp.sum(wxy * dyg)
+            by = jnp.sum(wxy * dxg) + jnp.sum(wyy * dyg)
+            det = gxx * gyy - gxy * gxy
+            safe = jnp.abs(det) > jnp.float32(1e-12)
+            inv = jnp.where(safe,
+                            jnp.float32(1.0) / jnp.where(safe, det, jnp.float32(1.0)),
+                            jnp.float32(0.0))
+            ddx = jnp.clip((gyy * bx - gxy * by) * inv, -1.0, 1.0)
+            ddy = jnp.clip((gxx * by - gxy * bx) * inv, -1.0, 1.0)
+            gate = jnp.where(actives[b], jnp.float32(1.0), jnp.float32(0.0))
+            nxs.append(pxs[b] + ddx * gate)
+            nys.append(pys[b] + ddy * gate)
+            nas.append(actives[b]
+                       & (jnp.sqrt(ddx * ddx + ddy * ddy) >= jnp.float32(EPS)))
+        return (i + 1, tuple(nas), tuple(nxs), tuple(nys))
+
+    _, _, fxs, fys = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), tuple(v > 0 for v in vs), tuple(cxs0), tuple(cys0)))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for b in range(FPP):
+        px, py = fxs[b], fys[b]
+        moved = jnp.sqrt((px - cxs0[b]) ** 2 + (py - cys0[b]) ** 2)
+        ly = py - y0fs[b]
+        lx = px - x0fs[b]
+        inside = (
+            (ly >= HALF + 2.0) & (ly <= BLK_R - HALF - 3.0)
+            & (lx >= HALF + 2.0) & (lx <= BLK_C - HALF - 3.0)
+        )
+        ok = (moved < jnp.float32(HALF)) & inside & (vs[b] > 0)
+        px = jnp.where(ok, px, cxs0[b])
+        py = jnp.where(ok, py, cys0[b])
+        row = jnp.where(lane == 0, px, py)
+        out_ref[fs[b], :] = row[0, :]
 
 
 def _refine_one(corners_ref, feat_ref, img_ref, out_ref, f):
