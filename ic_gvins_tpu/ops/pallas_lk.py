@@ -66,9 +66,12 @@ CCY, CCX = CY - CROP_R0, CX - CROP_C0  # center within the crop (16, 64)
 MAX_ITERS = 30
 EPS = 0.01
 MIN_EIG_THRESHOLD = 1e-4
-FPP = 4                 # features per grid program: the mosaic grid-step
+FPP = int(os.environ.get("ICGVINS_LK_FPP", "4"))
+                        # features per grid program: the mosaic grid-step
                         # overhead (~us) dominates the ~1 us per-feature
-                        # body, so features are processed in groups
+                        # body, so features are processed in groups; with
+                        # the interleaved kernel FPP is also the number of
+                        # independent chains the scheduler can overlap
 
 
 def _roll(block, shift, axis):

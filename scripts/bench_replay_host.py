@@ -135,7 +135,12 @@ def main():
     est_mod._solve_jit = timed(est_mod._solve_jit, "solve")
     est_mod._surgery_jit = timed(est_mod._surgery_jit, "solve")
     est_mod._marg_jit = timed(est_mod._marg_jit, "marg")
+    est_mod._drop_node_jit = timed(est_mod._drop_node_jit, "marg")
     est_mod._preint_jit = timed(est_mod._preint_jit, "preint")
+    # table unpacking is a real device dispatch on the episode path — left
+    # unwrapped it executes on the CPU backend inside the "host" residual
+    # and overstates host_s by ~0.5 ms/frame
+    est_mod._tables_dev_jit = timed(est_mod._tables_dev_jit, "solve")
     replay_mod._prop_chunk_jit = timed(replay_mod._prop_chunk_jit, "mech")
     replay_mod._peek_interp_jit = timed(replay_mod._peek_interp_jit, "mech")
     for name in ("_pyr_jit", "_lk_jit", "_ransac_jit", "_tri_jit",

@@ -130,7 +130,8 @@ def main():
     from ic_gvins_tpu.vision import tracking as trk_mod
 
     for mod, names in (
-        (est_mod, ["_solve_jit", "_surgery_jit", "_marg_jit", "_preint_jit"]),
+        (est_mod, ["_solve_jit", "_surgery_jit", "_marg_jit", "_preint_jit",
+                   "_tables_dev_jit", "_drop_node_jit"]),
         (replay_mod, ["_prop_chunk_jit", "_peek_interp_jit"]),
         (trk_mod, ["_pyr_jit", "_lk_jit", "_ransac_jit", "_tri_jit",
                    "_detect_jit", "_detect_nomask_jit"]),
