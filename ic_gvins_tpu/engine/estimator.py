@@ -62,6 +62,14 @@ def _marg_jit(params, tables, num_marg, oldest, wc):
 
 
 @_functools.partial(jax.jit, static_argnums=(1, 2))
+def _insert_node_jit(prior, wc, k):
+    # jitted for the same reason as _drop_node_jit below, plus dispatch
+    # cost: the eager permutation measured ~10 ms/insertion of pure CPU
+    # op dispatch (round-5 section profile). k is a host int < N.
+    return marg.insert_node_slot_into_prior(prior, wc, k)
+
+
+@_functools.partial(jax.jit, static_argnums=(1, 2))
 def _drop_node_jit(prior, wc, k):
     # MUST run jitted: eager dispatch compiles the lax.cond retry inside
     # _equilibrated_chol32 as a standalone primitive, which segfaults
@@ -615,6 +623,14 @@ class SlidingWindowEstimator:
             self.preint_table.valid[self.wcfg.P - num_marg:] = 0.0
         _np_roll(self.seg_store, num_marg)
         return lm_m
+
+    def insert_prior_slot(self, k):
+        """Remap the marg prior after a mid-interval node insertion at slot
+        ``k`` (see marg.insert_node_slot_into_prior)."""
+        if self.marg_prior is None:
+            return
+        marg.check_insert_capacity(self.marg_prior, self.wcfg)
+        self.marg_prior = _insert_node_jit(self.marg_prior, self.wcfg, int(k))
 
     def truncate_to(self, k):
         """Drop nodes [k, n_nodes) and their intervals (the node-removal leg

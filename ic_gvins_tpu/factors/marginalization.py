@@ -344,6 +344,26 @@ def shift_prior(prior: MargPrior, cfg: WindowConfig, shift):
     return prior._replace(H0=H0, Jte0=Jte0, x0=x0)
 
 
+def check_insert_capacity(prior: MargPrior, cfg: WindowConfig):
+    """Callers of ``insert_node_slot_into_prior`` must guarantee the last
+    node slot is free — otherwise the shift silently discards prior
+    information on it. The threshold is RELATIVE: a freshly marginalized
+    prior carries pin/d-floor junk (~1e-15 of the leading scale) in
+    inactive tail columns, ~6+ orders below any real constraint (cf. the
+    1e-24-relative diagonal activity cut in drop_node_from_prior). Host-
+    side eager check, kept OUT of the (jitted) permutation — as a traced
+    op it could neither raise nor stay cheap."""
+    ND = cfg.node_dim
+    nd = cfg.N * ND
+    tail = float(jnp.abs(prior.H0[:, nd - ND : nd]).max())
+    scale = float(jnp.abs(prior.H0).max())
+    if tail > 1e-9 * max(scale, 1e-30):
+        raise RuntimeError(
+            f"insert_node_slot_into_prior would drop nonzero prior columns "
+            f"on the last node slot (max |H0|={tail:g} vs scale {scale:g}); "
+            f"caller must ensure free capacity before inserting")
+
+
 def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     """Shift node columns >= k one slot RIGHT after a node insertion at slot
     ``k`` (insertNewGnssTimeNode's mid-interval case truncates the tail and
@@ -352,26 +372,14 @@ def insert_node_slot_into_prior(prior: MargPrior, cfg: WindowConfig, k: int):
     carries no constraint on the inserted node. Counterpart of
     ``drop_node_from_prior``; without it the prior constrains the wrong
     nodes after every mid-interval GNSS insertion. ``k`` is a host int.
-    Insertion only happens with free slots (capacity is ensured first), so
-    no information falls off the tail."""
+    Callers run ``check_insert_capacity`` first (free tail slot) and
+    dispatch through estimator._insert_node_jit — eager, the ~40-op
+    permutation costs ~10 ms of pure CPU dispatch per insertion."""
     D = cfg.D
     ND = cfg.node_dim
     nd = cfg.N * ND
     lo = k * ND
-    # callers must guarantee the last node slot is free — otherwise the
-    # shift silently discards prior information on it (host-side eager
-    # check; mid-interval insertions are rare so the cost is negligible).
-    # The threshold is RELATIVE: a freshly marginalized prior carries
-    # pin/d-floor junk (~1e-15 of the leading scale) in inactive tail
-    # columns, ~6+ orders below any real constraint (cf. the 1e-24-relative
-    # diagonal activity cut in drop_node_from_prior).
-    tail = float(jnp.abs(prior.H0[:, nd - ND : nd]).max())
-    scale = float(jnp.abs(prior.H0).max())
-    if tail > 1e-9 * max(scale, 1e-30):
-        raise RuntimeError(
-            f"insert_node_slot_into_prior would drop nonzero prior columns "
-            f"on the last node slot (max |H0|={tail:g} vs scale {scale:g}); "
-            f"caller must ensure free capacity before inserting")
+
     def ins_cols(M):
         return jnp.concatenate(
             [M[:, :lo], jnp.zeros((M.shape[0], ND), M.dtype),

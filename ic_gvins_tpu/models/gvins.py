@@ -388,9 +388,7 @@ class GvinsModel(GinsModel):
                 est.add_time_node(t, series)
             # every re-added tail node moved one slot up: the prior's node
             # columns must follow (see marg.insert_node_slot_into_prior)
-            if est.marg_prior is not None:
-                est.marg_prior = marg.insert_node_slot_into_prior(
-                    est.marg_prior, est.wcfg, index)
+            est.insert_prior_slot(index)
         return True
 
     # ------------------------------------------------------------------

@@ -485,6 +485,10 @@ class Tracker:
             lm.add_observation(obs)
             self.frame_cur.features[lm.id] = obs
             self.tracked_mappoints.append(lm)
+        # undistorted rows of frame_cur.features in dict order — lets
+        # features_detection's per-block count skip the ~200-object dict
+        # walk on non-keyframe frames (guarded by a length check there)
+        self._cur_feat_und = matched_und
 
         self.parallax_map_counts = self._parallax_from_ref_mappoints()
         return True
@@ -750,10 +754,21 @@ class Tracker:
         bw = self.cam.width // self.block_cols
         bh = self.cam.height // self.block_rows
         counts = np.zeros(self.block_rows * self.block_cols, np.int32)
-        feat_und = [obs.undis for obs in frame.features.values()]
+        cache = getattr(self, "_cur_feat_und", None)
+        if (frame is self.frame_cur and cache is not None
+                and len(cache) == len(frame.features)):
+            # non-keyframe path: features are exactly the rows cached by
+            # _finish_mappoint_tracking this frame (keyframes add
+            # triangulations first -> length differs -> dict walk below)
+            feat_arr = cache
+        elif frame.features:
+            feat_arr = np.asarray(
+                [obs.undis for obs in frame.features.values()]).reshape(-1, 2)
+        else:
+            feat_arr = np.zeros((0, 2))
         existing = (
-            np.concatenate([np.asarray(feat_und).reshape(-1, 2), self.pts_new])
-            if feat_und else self.pts_new
+            np.concatenate([feat_arr, self.pts_new])
+            if len(feat_arr) else self.pts_new
         )
         if len(existing):
             col = np.clip((existing[:, 0] // bw).astype(np.int64), 0, self.block_cols - 1)
